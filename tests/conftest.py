@@ -1,0 +1,26 @@
+"""Test configuration: force an 8-device virtual CPU mesh so data-parallel
+sharding is exercised without TPU hardware (SURVEY §4 implication)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
+# The axon JAX build defaults matmuls/convs to low precision even on CPU;
+# numerics-parity tests need true fp32 accumulation.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,107 @@
+"""Numerics tests for the MS-TCN family against independent naive oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from surgical_tpu.core.config import MSTCNConfig
+from surgical_tpu.models.mstcn import (
+    DilatedResidualLayer,
+    MultiStageTCN,
+    SingleStageTCN,
+)
+
+
+def naive_causal_dilated_conv(x, w, b, d):
+    """Oracle: out[t] = w0 @ x[t-2d] + w1 @ x[t-d] + w2 @ x[t] + b.
+
+    x: [T, Cin]; w: [3, Cin, Cout]; returns [T, Cout].
+    """
+    T = x.shape[0]
+    cout = w.shape[-1]
+    out = np.zeros((T, cout))
+    for t in range(T):
+        acc = np.array(b, dtype=np.float64)
+        for k, off in enumerate((2 * d, d, 0)):
+            if t - off >= 0:
+                acc = acc + x[t - off] @ w[k]
+        out[t] = acc
+    return out
+
+
+@pytest.mark.parametrize("dilation", [1, 2, 4])
+def test_dilated_residual_layer_matches_oracle(rng, dilation):
+    T, C = 37, 8
+    x = rng.standard_normal((1, T, C)).astype(np.float32)
+    layer = DilatedResidualLayer(dilation=dilation, channels=C)
+    params = layer.init(jax.random.key(0), jnp.asarray(x))
+    y = np.asarray(layer.apply(params, jnp.asarray(x)))
+
+    p = params["params"]
+    wd = np.asarray(p["conv_dilated"]["kernel"])  # [3, Cin, Cout]
+    bd = np.asarray(p["conv_dilated"]["bias"])
+    w1 = np.asarray(p["conv_1x1"]["kernel"])  # [Cout, Cout]
+    b1 = np.asarray(p["conv_1x1"]["bias"])
+
+    h = naive_causal_dilated_conv(x[0].astype(np.float64), wd, bd, dilation)
+    h = np.maximum(h, 0.0)
+    h = h @ w1 + b1
+    expected = x[0] + h
+    np.testing.assert_allclose(y[0], expected, rtol=1e-4, atol=1e-4)
+
+
+def test_causality(rng):
+    """Perturbing frame t must not change outputs at frames < t."""
+    cfg = MSTCNConfig(stages=2, layers=4, f_maps=16, f_dim=32)
+    model = MultiStageTCN(cfg)
+    T = 64
+    x = rng.standard_normal((1, T, cfg.f_dim)).astype(np.float32)
+    params = model.init(jax.random.key(0), jnp.asarray(x))
+    y0 = np.asarray(model.apply(params, jnp.asarray(x)))
+
+    t_perturb = 40
+    x2 = x.copy()
+    x2[0, t_perturb:] += 10.0
+    y1 = np.asarray(model.apply(params, jnp.asarray(x2)))
+
+    np.testing.assert_allclose(
+        y0[:, :, :t_perturb], y1[:, :, :t_perturb], rtol=1e-5, atol=1e-5
+    )
+    # and the perturbation does reach later frames
+    assert np.abs(y0[:, :, t_perturb:] - y1[:, :, t_perturb:]).max() > 1e-3
+
+
+def test_right_padding_is_exact(rng):
+    """Causal stages: right-padding T to a bucket must not change the valid
+    prefix (up to XLA conv-schedule reassociation noise) — the property
+    whole-video bucketing relies on."""
+    cfg = MSTCNConfig(stages=2, layers=5, f_maps=16, f_dim=32)
+    model = MultiStageTCN(cfg)
+    T, pad_T = 50, 128
+    x = rng.standard_normal((1, T, cfg.f_dim)).astype(np.float32)
+    params = model.init(jax.random.key(0), jnp.asarray(x))
+    y = np.asarray(model.apply(params, jnp.asarray(x)))
+
+    xp = np.zeros((1, pad_T, cfg.f_dim), dtype=np.float32)
+    xp[:, :T] = x
+    yp = np.asarray(model.apply(params, jnp.asarray(xp)))
+    np.testing.assert_allclose(y, yp[:, :, :T], rtol=1e-5, atol=1e-6)
+
+
+def test_multistage_shapes_and_softmax_refinement(rng):
+    cfg = MSTCNConfig(stages=3, layers=3, f_maps=8, f_dim=16, out_features=14)
+    model = MultiStageTCN(cfg)
+    x = jnp.asarray(rng.standard_normal((2, 20, cfg.f_dim)).astype(np.float32))
+    params = model.init(jax.random.key(1), x)
+    y = model.apply(params, x)
+    assert y.shape == (3, 2, 20, 14)
+
+
+def test_single_stage_hidden(rng):
+    stage = SingleStageTCN(layers=2, f_maps=8, out_features=14)
+    x = jnp.asarray(rng.standard_normal((1, 10, 16)).astype(np.float32))
+    params = stage.init(jax.random.key(0), x)
+    out, hidden = stage.apply(params, x, return_hidden=True)
+    assert out.shape == (1, 10, 14)
+    assert hidden.shape == (1, 10, 8)
