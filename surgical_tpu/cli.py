@@ -1,0 +1,308 @@
+"""Unified command-line interface.
+
+Replaces the reference's six hand-wired scripts (train_evp.py,
+finetune_evp.py, generate_evp_LFB.py, tecno.py, tecno_trans.py,
+trans_SV_output.py) + the prep scripts (get_path_labels.py,
+generate_phase_anticipation.py) + eval_and_vis.py with one entrypoint whose
+stages hand off through typed artifacts (manifests + checkpoint stores)
+instead of hand-edited path constants.
+
+    python -m surgical_tpu.cli prepare-data --root data/cholec80 --out work/
+    python -m surgical_tpu.cli train-temporal --work work/ --model mamba
+    python -m surgical_tpu.cli train-refiner --work work/
+    python -m surgical_tpu.cli predict --work work/ --split test
+    python -m surgical_tpu.cli evaluate --gt data/cholec80/gt-phase --pred work/output/Test
+    python -m surgical_tpu.cli selfcheck          # synthetic end-to-end smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _work_paths(work: str) -> dict:
+    return {
+        "index": os.path.join(work, "index"),
+        "lfb": os.path.join(work, "lfb"),
+        "ckpt_temporal": os.path.join(work, "ckpt", "temporal"),
+        "ckpt_refiner": os.path.join(work, "ckpt", "refiner"),
+        "output": os.path.join(work, "output"),
+    }
+
+
+def cmd_prepare_data(args) -> int:
+    from surgical_tpu.data.cholec80 import index_dataset, make_splits, to_reference_pickle
+
+    videos = index_dataset(args.root, num_videos=args.num_videos, horizon=args.horizon)
+    train, val, test = make_splits(videos, scheme=args.scheme)
+    out = _work_paths(args.out)["index"]
+    os.makedirs(out, exist_ok=True)
+    for name, split in (("train", train), ("val", val), ("test", test)):
+        np.save(os.path.join(out, f"{name}_labels.npy"), split.labels)
+        np.save(os.path.join(out, f"{name}_num_each.npy"), np.asarray(split.num_each))
+        with open(os.path.join(out, f"{name}_paths.json"), "w") as f:
+            json.dump(split.paths, f)
+    if args.reference_pickle:
+        to_reference_pickle(train, val, test, args.reference_pickle)
+    print(f"indexed {len(videos)} videos -> {out}")
+    return 0
+
+
+def _load_split(work: str, name: str):
+    from surgical_tpu.train.temporal import VideoDataset
+    from surgical_tpu.data.feature_store import FeatureStore
+
+    idx = _work_paths(work)["index"]
+    labels = np.load(os.path.join(idx, f"{name}_labels.npy"))
+    num_each = np.load(os.path.join(idx, f"{name}_num_each.npy"))
+    store = FeatureStore.open(os.path.join(_work_paths(work)["lfb"], name))
+    starts = np.concatenate([[0], np.cumsum(num_each)[:-1]])
+    return VideoDataset(
+        features=store,
+        labels_phase=labels[:, 0].astype(np.int32),
+        labels_ant=labels[:, 8:15].astype(np.float32),
+        lengths=np.asarray(num_each),
+        starts=starts,
+    )
+
+
+def _temporal_model(kind: str):
+    from surgical_tpu.core.config import MambaConfig, MSTCNConfig
+    from surgical_tpu.models.mamba import CausalMambaModel
+    from surgical_tpu.models.mstcn import MultiStageTCN
+
+    if kind == "mamba":
+        return CausalMambaModel(MambaConfig())
+    return MultiStageTCN(MSTCNConfig())
+
+
+def cmd_train_temporal(args) -> int:
+    import jax
+
+    from surgical_tpu.core.checkpoint import CheckpointStore
+    from surgical_tpu.core.config import TrainConfig
+    from surgical_tpu.train.temporal import TemporalTrainer
+
+    cfg = TrainConfig(max_epochs=args.epochs)
+    trainer = TemporalTrainer(_temporal_model(args.model), cfg)
+    train_ds = _load_split(args.work, "train")
+    val_ds = _load_split(args.work, "val")
+    test_ds = _load_split(args.work, "test")
+
+    params, opt_state = trainer.init(jax.random.key(cfg.seed), f_dim=train_ds.features.dim)
+    store = CheckpointStore(_work_paths(args.work)["ckpt_temporal"])
+    key = jax.random.key(cfg.seed + 1)
+    for epoch in range(args.epochs):
+        params, opt_state, tm = trainer.train_epoch(params, opt_state, train_ds, key, epoch)
+        vm, _ = trainer.evaluate(params, val_ds)
+        sm, _ = trainer.evaluate(params, test_ds)
+        opt_state, lr = trainer.plateau_step(opt_state, vm["acc_frame"])
+        store.save(epoch, params, metrics={
+            "val_acc": vm["acc_frame"], "test_acc": sm["acc_frame"],
+            "val_inMAE": vm["inMAE"], "lr": lr, **{f"train_{k}": v for k, v in tm.items()},
+        })
+        print(f"epoch {epoch}: train_loss={tm['train_loss']:.4f} "
+              f"val_acc={vm['acc_frame']:.4f} test_acc={sm['acc_frame']:.4f} "
+              f"val MAE {vm['inMAE']:.3f}/{vm['pMAE']:.3f}/{vm['eMAE']:.3f}")
+    print("best epoch:", store.best_step("val_acc"))
+    return 0
+
+
+def cmd_train_refiner(args) -> int:
+    import jax
+
+    from surgical_tpu.core.checkpoint import CheckpointStore
+    from surgical_tpu.core.config import RefinerConfig, TrainConfig, OptimConfig
+    from surgical_tpu.models.transsv import RefinementTransformer
+    from surgical_tpu.train.refiner import RefinerTrainer
+
+    train_ds = _load_split(args.work, "train")
+    val_ds = _load_split(args.work, "val")
+    f_dim = train_ds.features.dim
+
+    temporal = _temporal_model(args.model)
+    tstore = CheckpointStore(_work_paths(args.work)["ckpt_temporal"])
+    step = args.temporal_epoch if args.temporal_epoch >= 0 else tstore.best_step("val_acc")
+    import jax.numpy as jnp
+    t_template = temporal.init(jax.random.key(0), jnp.zeros((1, 8, f_dim)))["params"]
+    temporal_params = tstore.restore(step, t_template)
+
+    cfg = TrainConfig(optim=OptimConfig(name="adam", lr=5e-4, weight_decay=0.0))
+    trainer = RefinerTrainer(temporal, RefinementTransformer(RefinerConfig(f_dim=f_dim)), cfg)
+    params, opt_state = trainer.init(jax.random.key(1), temporal_params, f_dim)
+    store = CheckpointStore(_work_paths(args.work)["ckpt_refiner"])
+    for epoch in range(args.epochs):
+        params, opt_state, tm = trainer.train_epoch(temporal_params, params, opt_state, train_ds, epoch)
+        vm, _, _ = trainer.evaluate(temporal_params, params, val_ds)
+        store.save(epoch, params, metrics={"val_acc": vm["acc_frame"], **{f"train_{k}": v for k, v in tm.items()}})
+        print(f"epoch {epoch}: train_loss={tm['train_loss']:.4f} val_acc={vm['acc_frame']:.4f}")
+    return 0
+
+
+def cmd_predict(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from surgical_tpu.core.checkpoint import CheckpointStore
+    from surgical_tpu.core.config import RefinerConfig, TrainConfig
+    from surgical_tpu.models.transsv import RefinementTransformer
+    from surgical_tpu.train.refiner import RefinerTrainer, predict_and_write
+
+    ds = _load_split(args.work, args.split)
+    f_dim = ds.features.dim
+    temporal = _temporal_model(args.model)
+    t_template = temporal.init(jax.random.key(0), jnp.zeros((1, 8, f_dim)))["params"]
+    tstore = CheckpointStore(_work_paths(args.work)["ckpt_temporal"])
+    temporal_params = tstore.restore(tstore.best_step("val_acc"), t_template)
+
+    trainer = RefinerTrainer(temporal, RefinementTransformer(RefinerConfig(f_dim=f_dim)), TrainConfig())
+    rstore = CheckpointStore(_work_paths(args.work)["ckpt_refiner"])
+    r_template, _ = trainer.init(jax.random.key(1), temporal_params, f_dim)
+    refiner_params = rstore.restore(rstore.best_step("val_acc"), r_template)
+
+    # test split = videos 41..80; val = 41..48 (get_path_labels.py:207-219)
+    first = 41
+    video_ids = list(range(first, first + ds.num_videos))
+    out_dir = os.path.join(_work_paths(args.work)["output"], args.split.capitalize())
+    metrics, _, _ = predict_and_write(
+        trainer, temporal_params, refiner_params, ds, out_dir, video_ids
+    )
+    print(json.dumps(metrics, indent=2, default=float))
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    from surgical_tpu.eval.predictions import read_phase_txt, video_txt_name
+    from surgical_tpu.eval.relaxed import evaluate_videos
+    from surgical_tpu.core.config import PHASE_NAMES
+
+    gts, preds = [], []
+    for vid in range(args.first, args.last + 1):
+        g = os.path.join(args.gt, video_txt_name(vid))
+        p = os.path.join(args.pred, video_txt_name(vid))
+        if not (os.path.exists(g) and os.path.exists(p)):
+            continue
+        gts.append(read_phase_txt(g))
+        preds.append(read_phase_txt(p))
+    res = evaluate_videos(gts, preds)
+    print(f"{'Phase':<26} {'Jaccard':>14} {'Precision':>14} {'Recall':>14}")
+    for i, name in enumerate(PHASE_NAMES):
+        print(f"{name:<26} {res.phase_mean_jacc[i]:6.2f}±{res.phase_std_jacc[i]:5.2f} "
+              f"{res.phase_mean_prec[i]:6.2f}±{res.phase_std_prec[i]:5.2f} "
+              f"{res.phase_mean_rec[i]:6.2f}±{res.phase_std_rec[i]:5.2f}")
+    print(f"Mean Accuracy:  {res.mean_acc:.2f} ± {res.std_acc:.2f}")
+    print(f"Mean Jaccard:   {res.mean_jacc:.2f} ± {res.std_jacc:.2f}")
+    print(f"Mean Precision: {res.mean_prec:.2f} ± {res.std_prec:.2f}")
+    print(f"Mean Recall:    {res.mean_rec:.2f} ± {res.std_rec:.2f}")
+    return 0
+
+
+def cmd_selfcheck(args) -> int:
+    """Synthetic end-to-end smoke: index -> features -> temporal -> refiner ->
+    predict -> relaxed eval, no real data needed."""
+    import tempfile
+
+    import jax
+
+    from surgical_tpu.core.config import (MSTCNConfig, OptimConfig, RefinerConfig, TrainConfig)
+    from surgical_tpu.data.feature_store import FeatureStore
+    from surgical_tpu.models.mstcn import MultiStageTCN
+    from surgical_tpu.models.transsv import RefinementTransformer
+    from surgical_tpu.train.refiner import RefinerTrainer
+    from surgical_tpu.train.temporal import TemporalTrainer, VideoDataset
+    from surgical_tpu.eval.relaxed import evaluate_videos
+
+    rng = np.random.default_rng(0)
+    lengths = [60, 80, 70]
+    N = sum(lengths)
+    f_dim = 32
+    labels = np.concatenate([np.repeat(np.arange(7), -(-L // 7))[:L] for L in lengths]).astype(np.int32)
+    feats = rng.standard_normal((N, f_dim)).astype(np.float32) * 0.1 + labels[:, None]
+    ant = rng.uniform(0, 1, (N, 7)).astype(np.float32)
+    with tempfile.TemporaryDirectory() as td:
+        store = FeatureStore.create(os.path.join(td, "lfb"), feats, lengths)
+        starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+        ds = VideoDataset(store, labels, ant, np.asarray(lengths), starts)
+
+        cfg = TrainConfig(bucket_sizes=(128,), optim=OptimConfig(lr=1e-2))
+        trainer = TemporalTrainer(
+            MultiStageTCN(MSTCNConfig(stages=2, layers=4, f_maps=16, f_dim=f_dim, dropout=0.1)), cfg
+        )
+        params, opt = trainer.init(jax.random.key(0), f_dim)
+        for epoch in range(20):
+            params, opt, m = trainer.train_epoch(params, opt, ds, jax.random.key(1), epoch)
+        ev, _ = trainer.evaluate(params, ds)
+        print(f"temporal: loss={m['train_loss']:.3f} acc={ev['acc_frame']:.3f}")
+
+        rtrainer = RefinerTrainer(
+            trainer.model,
+            RefinementTransformer(RefinerConfig(f_maps=16, f_dim=f_dim)),
+            TrainConfig(bucket_sizes=(128,), optim=OptimConfig(name="adam", lr=5e-3, weight_decay=0.0)),
+        )
+        rparams, ropt = rtrainer.init(jax.random.key(2), params, f_dim)
+        for epoch in range(10):
+            rparams, ropt, rm = rtrainer.train_epoch(params, rparams, ropt, ds, epoch)
+        rev, preds, _ = rtrainer.evaluate(params, rparams, ds)
+        print(f"refiner: loss={rm['train_loss']:.3f} acc={rev['acc_frame']:.3f}")
+
+        gts = [labels[s : s + L] for s, L in zip(starts, lengths)]
+        res = evaluate_videos(gts, preds)
+        print(f"relaxed acc={res.mean_acc:.2f} jacc={res.mean_jacc:.2f}")
+        ok = rev["acc_frame"] > 0.5
+        print("SELFCHECK", "OK" if ok else "WEAK")
+        return 0 if ok else 1
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="surgical_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("prepare-data")
+    sp.add_argument("--root", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--num-videos", type=int, default=80)
+    sp.add_argument("--horizon", type=float, default=5.0)
+    sp.add_argument("--scheme", choices=["stage1", "stage2"], default="stage2")
+    sp.add_argument("--reference-pickle", default=None)
+    sp.set_defaults(fn=cmd_prepare_data)
+
+    sp = sub.add_parser("train-temporal")
+    sp.add_argument("--work", required=True)
+    sp.add_argument("--model", choices=["mstcn", "mamba"], default="mstcn")
+    sp.add_argument("--epochs", type=int, default=25)
+    sp.set_defaults(fn=cmd_train_temporal)
+
+    sp = sub.add_parser("train-refiner")
+    sp.add_argument("--work", required=True)
+    sp.add_argument("--model", choices=["mstcn", "mamba"], default="mstcn")
+    sp.add_argument("--epochs", type=int, default=10)
+    sp.add_argument("--temporal-epoch", type=int, default=-1)
+    sp.set_defaults(fn=cmd_train_refiner)
+
+    sp = sub.add_parser("predict")
+    sp.add_argument("--work", required=True)
+    sp.add_argument("--model", choices=["mstcn", "mamba"], default="mstcn")
+    sp.add_argument("--split", choices=["val", "test"], default="test")
+    sp.set_defaults(fn=cmd_predict)
+
+    sp = sub.add_parser("evaluate")
+    sp.add_argument("--gt", required=True)
+    sp.add_argument("--pred", required=True)
+    sp.add_argument("--first", type=int, default=41)
+    sp.add_argument("--last", type=int, default=80)
+    sp.set_defaults(fn=cmd_evaluate)
+
+    sp = sub.add_parser("selfcheck")
+    sp.set_defaults(fn=cmd_selfcheck)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

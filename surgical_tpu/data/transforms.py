@@ -1,0 +1,253 @@
+"""Device-fused, clip-synchronized augmentations.
+
+The reference implements augmentation as stateful PIL/torch transforms whose
+geometry is synchronized across a clip (and across the img/segmap/flow
+triple) by reseeding Python's global RNG with a shared counter
+(data_process.py:53-186). Here augmentation is one jittable function over a
+whole clip: parameters are drawn ONCE per clip from a counter-based key
+(core/rng.clip_key) and applied to every frame and modality, which
+reproduces the reference semantics without shared mutable state — and runs
+fused on device right before the backbone.
+
+Reference transform stacks (train_evp.py:147-183):
+- train: Resize(250) -> RandomCrop(224) -> ColorJitter(0.1,0.1,0.1,0.05) ->
+         RandomHorizontalFlip -> RandomRotation(±5°) -> Normalize
+- eval:  Resize(250) -> CenterCrop(224) -> Normalize
+
+Flow-specific semantics preserved (data_process.py:113-157): only geometric
+ops apply to flow; horizontal flip negates u; rotation rotates the (u, v)
+vectors by the rotation matrix; color jitter applies to images only (the
+segmap gets geometry + normalize, like the reference's shared Compose minus
+PIL-only color ops).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from surgical_tpu.core.config import CHOLEC80_MEAN, CHOLEC80_STD
+
+
+@dataclass(frozen=True)
+class AugConfig:
+    resize: int = 250
+    crop: int = 224
+    degrees: float = 5.0
+    brightness: float = 0.1
+    contrast: float = 0.1
+    saturation: float = 0.1
+    hue: float = 0.05
+    flip_prob: float = 0.5
+
+
+class AugParams(NamedTuple):
+    crop_xy: jax.Array  # [2] int32 (x1, y1)
+    flip: jax.Array  # bool
+    angle_deg: jax.Array  # float
+    brightness: jax.Array
+    contrast: jax.Array
+    saturation: jax.Array
+    hue: jax.Array
+
+
+def draw_params(key: jax.Array, cfg: AugConfig) -> AugParams:
+    """One parameter set per clip (shared by all frames + modalities)."""
+    ks = jax.random.split(key, 7)
+    span = cfg.resize - cfg.crop
+    return AugParams(
+        crop_xy=jax.random.randint(ks[0], (2,), 0, span + 1),
+        flip=jax.random.uniform(ks[1]) < cfg.flip_prob,
+        angle_deg=jax.random.randint(
+            ks[2], (), -int(cfg.degrees), int(cfg.degrees) + 1
+        ).astype(jnp.float32),
+        brightness=jax.random.uniform(
+            ks[3], (), minval=1 - cfg.brightness, maxval=1 + cfg.brightness
+        ),
+        contrast=jax.random.uniform(
+            ks[4], (), minval=1 - cfg.contrast, maxval=1 + cfg.contrast
+        ),
+        saturation=jax.random.uniform(
+            ks[5], (), minval=1 - cfg.saturation, maxval=1 + cfg.saturation
+        ),
+        hue=jax.random.uniform(ks[6], (), minval=-cfg.hue, maxval=cfg.hue),
+    )
+
+
+# -- geometry -----------------------------------------------------------------
+
+def resize_bilinear(x: jax.Array, size: int) -> jax.Array:
+    T, H, W, C = x.shape
+    return jax.image.resize(x, (T, size, size, C), method="bilinear")
+
+
+def crop(x: jax.Array, xy: jax.Array, size: int) -> jax.Array:
+    """Dynamic (x1, y1) crop of a [T, H, W, C] clip."""
+    return jax.lax.dynamic_slice(
+        x, (0, xy[1], xy[0], 0), (x.shape[0], size, size, x.shape[3])
+    )
+
+
+def center_crop(x: jax.Array, size: int) -> jax.Array:
+    H, W = x.shape[1:3]
+    y0, x0 = (H - size) // 2, (W - size) // 2
+    return x[:, y0 : y0 + size, x0 : x0 + size, :]
+
+
+def hflip(x: jax.Array, flip: jax.Array, negate_u: bool = False) -> jax.Array:
+    flipped = x[:, :, ::-1, :]
+    if negate_u:
+        flipped = flipped.at[..., 0].multiply(-1.0)
+    return jnp.where(flip, flipped, x)
+
+
+def rotate(x: jax.Array, angle_deg: jax.Array, rotate_vectors: bool = False) -> jax.Array:
+    """Rotate a [T, H, W, C] clip CCW about the image center (nearest
+    neighbor, zero fill — torchvision TF.rotate defaults). For flow
+    (rotate_vectors), the (u, v) values are rotated by the same matrix."""
+    T, H, W, C = x.shape
+    rad = angle_deg * (np.pi / 180.0)
+    cos, sin = jnp.cos(rad), jnp.sin(rad)
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    # inverse mapping: output pixel <- input pixel rotated by -angle
+    xs = (xx - cx) * cos + (yy - cy) * sin + cx
+    ys = -(xx - cx) * sin + (yy - cy) * cos + cy
+    xi = jnp.round(xs).astype(jnp.int32)
+    yi = jnp.round(ys).astype(jnp.int32)
+    valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+    xi = jnp.clip(xi, 0, W - 1)
+    yi = jnp.clip(yi, 0, H - 1)
+    out = x[:, yi, xi, :]
+    out = jnp.where(valid[None, :, :, None], out, 0.0)
+    if rotate_vectors:
+        u, v = out[..., 0], out[..., 1]
+        out = jnp.stack([u * cos - v * sin, u * sin + v * cos], axis=-1)
+    return out
+
+
+# -- color (torchvision formulas) ---------------------------------------------
+
+_GRAY = jnp.asarray([0.299, 0.587, 0.114])
+
+
+def adjust_brightness(img: jax.Array, f: jax.Array) -> jax.Array:
+    return jnp.clip(img * f, 0.0, 1.0)
+
+
+def adjust_contrast(img: jax.Array, f: jax.Array) -> jax.Array:
+    mean = jnp.mean(img @ _GRAY, axis=(-2, -1), keepdims=True)[..., None]
+    return jnp.clip(f * img + (1 - f) * mean, 0.0, 1.0)
+
+
+def adjust_saturation(img: jax.Array, f: jax.Array) -> jax.Array:
+    gray = (img @ _GRAY)[..., None]
+    return jnp.clip(f * img + (1 - f) * gray, 0.0, 1.0)
+
+
+def adjust_hue(img: jax.Array, shift: jax.Array) -> jax.Array:
+    """Hue rotation in HSV space, shift in turns (torchvision semantics)."""
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    maxc = jnp.max(img, axis=-1)
+    minc = jnp.min(img, axis=-1)
+    v = maxc
+    d = maxc - minc
+    s = jnp.where(maxc > 0, d / jnp.maximum(maxc, 1e-12), 0.0)
+    dn = jnp.maximum(d, 1e-12)
+    rc = (maxc - r) / dn
+    gc = (maxc - g) / dn
+    bc = (maxc - b) / dn
+    h = jnp.where(
+        maxc == r, bc - gc, jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc)
+    )
+    h = (h / 6.0) % 1.0
+    h = jnp.where(d == 0, 0.0, h)
+    h = (h + shift) % 1.0
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1 - s)
+    q = v * (1 - s * f)
+    t = v * (1 - s * (1 - f))
+    i = i.astype(jnp.int32) % 6
+    r2 = jnp.select([i == k for k in range(6)], [v, q, p, p, t, v])
+    g2 = jnp.select([i == k for k in range(6)], [t, v, v, q, p, p])
+    b2 = jnp.select([i == k for k in range(6)], [p, p, t, v, v, q])
+    return jnp.stack([r2, g2, b2], axis=-1)
+
+
+def color_jitter(img: jax.Array, p: AugParams) -> jax.Array:
+    img = adjust_brightness(img, p.brightness)
+    img = adjust_contrast(img, p.contrast)
+    img = adjust_saturation(img, p.saturation)
+    return adjust_hue(img, p.hue)
+
+
+def normalize(img: jax.Array) -> jax.Array:
+    mean = jnp.asarray(CHOLEC80_MEAN)
+    std = jnp.asarray(CHOLEC80_STD)
+    return (img - mean) / std
+
+
+# -- full stacks ----------------------------------------------------------------
+
+def train_preprocess_clip(
+    images: jax.Array,  # [T, H, W, 3] float in [0, 1]
+    segmaps: jax.Array,  # [T, H, W, 3]
+    flow: jax.Array | None,  # [T, H, W, 2] or None
+    key: jax.Array,
+    cfg: AugConfig = AugConfig(),
+):
+    """The reference train stack, one fused graph per clip."""
+    p = draw_params(key, cfg)
+    images = resize_bilinear(images, cfg.resize)
+    segmaps = resize_bilinear(segmaps, cfg.resize)
+    images = crop(images, p.crop_xy, cfg.crop)
+    segmaps = crop(segmaps, p.crop_xy, cfg.crop)
+    images = color_jitter(images, p)
+    images = hflip(images, p.flip)
+    segmaps = hflip(segmaps, p.flip)
+    images = rotate(images, p.angle_deg)
+    segmaps = rotate(segmaps, p.angle_deg)
+    images = normalize(images)
+    segmaps = normalize(segmaps)
+    if flow is not None:
+        # flow arrives already resized to `resize` with displacement rescale
+        # (data_process.py:433-444); apply only geometry (:464-485)
+        flow = crop(flow, p.crop_xy, cfg.crop)
+        flow = hflip(flow, p.flip, negate_u=True)
+        flow = rotate(flow, p.angle_deg, rotate_vectors=True)
+    return images, segmaps, flow
+
+
+def eval_preprocess_clip(
+    images: jax.Array,
+    segmaps: jax.Array,
+    flow: jax.Array | None,
+    cfg: AugConfig = AugConfig(),
+):
+    """Resize -> CenterCrop -> Normalize (train_evp.py:173-177)."""
+    images = normalize(center_crop(resize_bilinear(images, cfg.resize), cfg.crop))
+    segmaps = normalize(center_crop(resize_bilinear(segmaps, cfg.resize), cfg.crop))
+    if flow is not None:
+        flow = center_crop(flow, cfg.crop)
+    return images, segmaps, flow
+
+
+def resize_flow(flow: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
+    """Resize flow to out_hw with displacement rescale
+    (data_process.py:433-444). Host-side numpy (runs in the loader)."""
+    import jax.image as jimg
+
+    H, W = flow.shape[:2]
+    oh, ow = out_hw
+    resized = np.asarray(
+        jimg.resize(jnp.asarray(flow), (oh, ow, 2), method="bilinear")
+    )
+    resized[..., 0] *= ow / W
+    resized[..., 1] *= oh / H
+    return resized

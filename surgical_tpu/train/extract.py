@@ -1,0 +1,127 @@
+"""LFB feature extraction — the throughput-critical path (BASELINE metric).
+
+Replaces generate_evp_LFB.py:300-520. The reference loops DataLoader batches
+through a DataParallel-wrapped frozen backbone and np.concatenate's features
+per batch (an O(N²) copy, SURVEY §3.2). Here:
+
+- the forward is one jitted bf16 function with the batch dim sharded over the
+  ``data`` mesh (XLA splits across chips over ICI);
+- every batch has the same static shape (the final ragged batch is padded and
+  masked), so exactly one compile;
+- features land in a preallocated [N, D] array (single write per batch);
+- the result is published as a FeatureStore (+ optional reference .pkl).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from surgical_tpu.core.config import CHOLEC80_MEAN, CHOLEC80_STD
+from surgical_tpu.data.feature_store import FeatureStore
+from surgical_tpu.parallel import mesh as meshlib
+
+
+def make_feature_fn(model, variables, mesh=None):
+    """Build the jitted frozen-backbone feature extractor.
+
+    Returns fn(images, segmaps, flow) -> [B, D] features (device array).
+    """
+    mesh = mesh if mesh is not None else meshlib.make_mesh()
+    variables = meshlib.replicate(mesh, variables)
+    batch_shard = meshlib.batch_sharding(mesh)
+
+    @jax.jit
+    def feature_fn(images, segmaps, flow):
+        return model.apply(variables, images, segmaps, flow, return_features=True)
+
+    def wrapped(images, segmaps, flow):
+        images = jax.device_put(images, batch_shard)
+        segmaps = jax.device_put(segmaps, batch_shard)
+        if flow is not None:
+            flow = jax.device_put(flow, batch_shard)
+        return feature_fn(images, segmaps, flow)
+
+    return wrapped
+
+
+def make_raw_feature_fn(model, variables, mesh=None):
+    """Feature extractor taking WIRE-FORMAT batches: uint8 RGB images, uint8
+    single-channel segmaps, float16 flow. Dequantization, normalization
+    (Cholec80 channel stats) and segmap channel-broadcast are fused into the
+    device graph, so the host->device payload is ~0.4 MB/frame instead of
+    1.6 MB (the tunnel/PCIe link is the throughput ceiling, not the MXU).
+    """
+    mesh = mesh if mesh is not None else meshlib.make_mesh()
+    variables = meshlib.replicate(mesh, variables)
+    batch_shard = meshlib.batch_sharding(mesh)
+    mean = jnp.asarray(CHOLEC80_MEAN, jnp.float32) * 255.0
+    inv_std = 1.0 / (jnp.asarray(CHOLEC80_STD, jnp.float32) * 255.0)
+
+    @jax.jit
+    def feature_fn(variables, img_u8, seg_u8, flow_f16):
+        img = (img_u8.astype(jnp.float32) - mean) * inv_std
+        seg = (seg_u8.astype(jnp.float32) - mean) * inv_std  # [B,H,W,1] bc over ch
+        seg = jnp.broadcast_to(seg, img.shape)
+        flow = None if flow_f16 is None else flow_f16.astype(jnp.float32)
+        return model.apply(variables, img, seg, flow, return_features=True)
+
+    def wrapped(img_u8, seg_u8, flow_f16):
+        img_u8 = jax.device_put(img_u8, batch_shard)
+        seg_u8 = jax.device_put(seg_u8, batch_shard)
+        if flow_f16 is not None:
+            flow_f16 = jax.device_put(flow_f16, batch_shard)
+        return feature_fn(variables, img_u8, seg_u8, flow_f16)
+
+    return wrapped
+
+
+def extract_features(
+    feature_fn: Callable,
+    batches: Iterable[tuple],
+    total_frames: int,
+    feature_dim: int,
+    batch_size: int,
+) -> tuple[np.ndarray, dict]:
+    """Run extraction over an iterable of (images, segmaps, flow) host
+    batches (each with leading dim <= batch_size); returns ([N, D] features,
+    timing stats)."""
+    out = np.empty((total_frames, feature_dim), dtype=np.float32)
+    pos = 0
+    t0 = time.time()
+    pending = None  # overlap host copy-out with the next device step
+    for batch in batches:
+        n = batch[0].shape[0]
+        padded, _ = meshlib.pad_batch(batch, batch_size)
+        feats = feature_fn(*padded)
+        if pending is not None:
+            p_feats, p_pos, p_n = pending
+            out[p_pos : p_pos + p_n] = np.asarray(p_feats)[:p_n]
+        pending = (feats, pos, n)
+        pos += n
+    if pending is not None:
+        p_feats, p_pos, p_n = pending
+        out[p_pos : p_pos + p_n] = np.asarray(p_feats)[:p_n]
+    jax.block_until_ready(p_feats) if pending else None
+    dt = time.time() - t0
+    assert pos == total_frames, (pos, total_frames)
+    return out, {"frames": total_frames, "seconds": dt, "fps": total_frames / dt}
+
+
+def extract_to_store(
+    feature_fn,
+    batches,
+    lengths,
+    feature_dim: int,
+    batch_size: int,
+    directory: str,
+    meta: dict | None = None,
+) -> tuple[FeatureStore, dict]:
+    total = int(np.sum(lengths))
+    feats, stats = extract_features(feature_fn, batches, total, feature_dim, batch_size)
+    store = FeatureStore.create(directory, feats, lengths, meta={**(meta or {}), **stats})
+    return store, stats
