@@ -147,9 +147,26 @@ class ClipDataset:
     def __len__(self) -> int:
         return len(self.paths)
 
+    use_native: bool = True
+
     def _load_img(self, path: str) -> np.ndarray:
         fn = lambda: load_image(path, "RGB", self.resize)
         return self.cache.get_or("img_" + path, fn) if self.cache else fn()
+
+    def _native_batch(self, paths: list[str], channels: int) -> np.ndarray | None:
+        """Fast path: C++ multithreaded decode+resize (native/loader.cpp)."""
+        if not self.use_native or self.cache is not None:
+            return None
+        try:
+            from surgical_tpu import native
+
+            if not native.available():
+                return None
+            out, _failures = native.decode_resize_batch(paths, self.resize, channels)
+            return out
+        except Exception:
+            logger.exception("native decode failed; falling back to PIL")
+            return None
 
     def _load_seg(self, path: str) -> np.ndarray:
         if self.noise_segmap:
@@ -162,8 +179,20 @@ class ClipDataset:
         return self.cache.get_or("seg_" + seg_path, fn) if self.cache else fn()
 
     def frames(self, indices: Sequence[int]):
-        imgs = np.stack([self._load_img(self.paths[i]) for i in indices])
-        segs = np.stack([self._load_seg(self.paths[i]) for i in indices])
+        img_paths = [self.paths[i] for i in indices]
+        imgs = self._native_batch(img_paths, 3)
+        if imgs is None:
+            imgs = np.stack([self._load_img(p) for p in img_paths])
+        segs = None
+        if not self.noise_segmap:
+            seg_paths = []
+            for p in img_paths:
+                sp = p.replace(*self.segmap_sub).replace(".jpg", ".png")
+                seg_paths.append(sp if os.path.exists(sp) else p.replace(*self.segmap_sub))
+            if all(p.endswith(".jpg") for p in seg_paths):
+                segs = self._native_batch(seg_paths, 1)
+        if segs is None:
+            segs = np.stack([self._load_seg(self.paths[i]) for i in indices])
         flow = (
             np.stack([load_flow(self.paths[i], self.resize) for i in indices])
             if self.with_flow

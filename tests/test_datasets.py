@@ -28,7 +28,7 @@ def test_clip_sampler_expansion():
     shuffled = s.indices(epoch=1, shuffle=True)
     assert sorted(shuffled.tolist()) == [0, 1, 2, 5, 6, 7]
     # clips stay contiguous after shuffling
-    assert shuffled.reshape(-1, 3).ptp(axis=1).max() == 2
+    assert np.ptp(shuffled.reshape(-1, 3), axis=1).max() == 2
 
 
 def make_fake_frames(tmp_path, n=4):
