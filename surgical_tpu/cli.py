@@ -81,6 +81,114 @@ def _temporal_model(kind: str):
     return MultiStageTCN(MSTCNConfig())
 
 
+def _backbone_and_data(args, split_scheme: str):
+    import json as _json
+
+    import jax.numpy as jnp
+
+    from surgical_tpu.core.config import BackboneConfig, HeadConfig
+    from surgical_tpu.data.datasets import ClipDataset
+    from surgical_tpu.models.mit_evp import MiTEVP
+
+    idx = _work_paths(args.work)["index"]
+    datasets = {}
+    for name in ("train", "val", "test"):
+        with open(os.path.join(idx, f"{name}_paths.json")) as f:
+            paths = _json.load(f)
+        labels = np.load(os.path.join(idx, f"{name}_labels.npy"))
+        datasets[name] = ClipDataset(paths, labels, with_flow=not args.no_flow)
+    cfg = BackboneConfig.preset(args.variant, with_flow=not args.no_flow)
+    model = MiTEVP(cfg, HeadConfig(), compute_dtype=jnp.bfloat16)
+    return model, cfg, datasets
+
+
+def cmd_train_backbone(args) -> int:
+    """Stage-1 backbone training / stage-2 finetune (train_evp.py /
+    finetune_evp.py equivalents; finetune = --early-stop-loss on the
+    stage-2 split with the stage-1 best checkpoint resumed)."""
+    import jax
+
+    from surgical_tpu.core.checkpoint import CheckpointStore
+    from surgical_tpu.core.config import OptimConfig, TrainConfig
+    from surgical_tpu.data.datasets import ClipSampler, clip_start_indices, prefetch_batches
+    from surgical_tpu.models.convert import import_mit_state_dict, load_torch_pth, merge_pretrained
+    from surgical_tpu.train.backbone import BackboneTrainer, EarlyStop
+    from surgical_tpu.utils.logging import MetricsLogger
+
+    model, cfg, datasets = _backbone_and_data(args, args.scheme)
+    trainer = BackboneTrainer(
+        model,
+        TrainConfig(optim=OptimConfig(name=args.optimizer, lr=args.lr, weight_decay=0.0)),
+    )
+    state = trainer.init(jax.random.key(42))
+    if args.pretrained:
+        imported = import_mit_state_dict(load_torch_pth(args.pretrained), cfg.depths)
+        state = (merge_pretrained(dict(state[0]), imported), state[1], state[2])
+    store = CheckpointStore(os.path.join(args.work, "ckpt", "backbone"))
+    logger = MetricsLogger(os.path.join(args.work, "logs", "backbone"))
+    early = EarlyStop(args.early_stop_loss) if args.early_stop_loss else None
+
+    train_ds = datasets["train"]
+    n_frames = len(train_ds)
+    for epoch in range(args.epochs):
+        sampler = ClipSampler(1, clip_start_indices(1, [n_frames]))
+        idx = sampler.indices(epoch=epoch, shuffle=True)
+        batches = (
+            (i, s, f, p.astype(np.int32), a)
+            for (i, s, f, p, a) in prefetch_batches(train_ds, idx, args.batch_size)
+        )
+        state, tm = trainer.train_epoch(state, batches, jax.random.key(1), epoch, logger=logger)
+        logger.log(epoch, tm, prefix="train/")
+        store.save(epoch, state[0], metrics=tm)
+        print(f"epoch {epoch}: loss={tm['train_loss']:.2f} acc={tm['train_acc']:.4f} "
+              f"{tm['frames_per_s']:.0f} frames/s")
+        if early is not None and early.update(tm["train_loss"] / max(n_frames, 1)):
+            print(f"early stop: train loss below {args.early_stop_loss}")
+            break
+    return 0
+
+
+def cmd_extract_features(args) -> int:
+    """LFB extraction (generate_evp_LFB.py equivalent): frozen backbone over
+    all splits into FeatureStores (+ optional reference pickles)."""
+    import jax
+
+    from surgical_tpu.core.checkpoint import CheckpointStore
+    from surgical_tpu.data.datasets import prefetch_batches
+    from surgical_tpu.train.extract import extract_to_store, make_raw_feature_fn
+
+    model, cfg, datasets = _backbone_and_data(args, "stage2")
+    idx = _work_paths(args.work)["index"]
+    store = CheckpointStore(os.path.join(args.work, "ckpt", "backbone"))
+    import jax.numpy as jnp
+
+    z = jnp.zeros((1, 250, 250, 3))
+    variables = model.init(jax.random.key(0), z, z, jnp.zeros((1, 250, 250, 2)))
+    step = store.latest_step()
+    if step is not None:
+        variables = {**variables, "params": store.restore(step, variables["params"])}
+    fn = make_raw_feature_fn(model, variables)
+
+    for name, ds in datasets.items():
+        num_each = np.load(os.path.join(idx, f"{name}_num_each.npy"))
+        batches = (
+            (i, s, f)
+            for (i, s, f, _p, _a) in prefetch_batches(ds, np.arange(len(ds)), args.batch_size)
+        )
+        fstore, stats = extract_to_store(
+            fn, batches, num_each.tolist(), feature_dim=2048,
+            batch_size=args.batch_size,
+            directory=os.path.join(_work_paths(args.work)["lfb"], name),
+            meta={"split": name},
+        )
+        print(f"{name}: {stats['frames']} frames at {stats['fps']:.0f} fps")
+        if args.reference_pickles:
+            fstore.to_reference_pickle(
+                os.path.join(args.work, "lfb", f"evp_LFB_{name}.pkl")
+            )
+    return 0
+
+
 def cmd_train_temporal(args) -> int:
     import jax
 
@@ -270,6 +378,28 @@ def main(argv=None) -> int:
     sp.add_argument("--scheme", choices=["stage1", "stage2"], default="stage2")
     sp.add_argument("--reference-pickle", default=None)
     sp.set_defaults(fn=cmd_prepare_data)
+
+    sp = sub.add_parser("train-backbone")
+    sp.add_argument("--work", required=True)
+    sp.add_argument("--variant", default="b3")
+    sp.add_argument("--scheme", choices=["stage1", "stage2"], default="stage1")
+    sp.add_argument("--epochs", type=int, default=50)
+    sp.add_argument("--batch-size", type=int, default=88)
+    sp.add_argument("--lr", type=float, default=1e-3)
+    sp.add_argument("--optimizer", default="sgd")
+    sp.add_argument("--pretrained", default=None, help="torch mit_b*.pth trunk")
+    sp.add_argument("--early-stop-loss", type=float, default=None,
+                    help="finetune mode: stop below this per-frame train loss")
+    sp.add_argument("--no-flow", action="store_true")
+    sp.set_defaults(fn=cmd_train_backbone)
+
+    sp = sub.add_parser("extract-features")
+    sp.add_argument("--work", required=True)
+    sp.add_argument("--variant", default="b3")
+    sp.add_argument("--batch-size", type=int, default=200)
+    sp.add_argument("--no-flow", action="store_true")
+    sp.add_argument("--reference-pickles", action="store_true")
+    sp.set_defaults(fn=cmd_extract_features)
 
     sp = sub.add_parser("train-temporal")
     sp.add_argument("--work", required=True)

@@ -120,7 +120,9 @@ class BackboneConfig:
     # EVP prompt configuration (mix_transformer_evp.py:278-289)
     prompt_scale_factor: int = 4
     tuning_stage: str = "1234"
-    input_type: str = "gaussian"
+    input_type: str = "gaussian"  # gaussian | srm | fft | all | bimask | raw
+    prompt_type: str = "highpass"  # for input_type='fft'
+    freq_nums: float = 0.25
     handcrafted_tune: bool = True
     embedding_tune: bool = True
     adaptor: str = "adaptor"

@@ -204,8 +204,10 @@ def train_preprocess_clip(
 ):
     """The reference train stack, one fused graph per clip."""
     p = draw_params(key, cfg)
-    images = resize_bilinear(images, cfg.resize)
-    segmaps = resize_bilinear(segmaps, cfg.resize)
+    if images.shape[1] != cfg.resize:
+        images = resize_bilinear(images, cfg.resize)
+    if segmaps.shape[1] != cfg.resize:
+        segmaps = resize_bilinear(segmaps, cfg.resize)
     images = crop(images, p.crop_xy, cfg.crop)
     segmaps = crop(segmaps, p.crop_xy, cfg.crop)
     images = color_jitter(images, p)
@@ -231,8 +233,12 @@ def eval_preprocess_clip(
     cfg: AugConfig = AugConfig(),
 ):
     """Resize -> CenterCrop -> Normalize (train_evp.py:173-177)."""
-    images = normalize(center_crop(resize_bilinear(images, cfg.resize), cfg.crop))
-    segmaps = normalize(center_crop(resize_bilinear(segmaps, cfg.resize), cfg.crop))
+    if images.shape[1] != cfg.resize:
+        images = resize_bilinear(images, cfg.resize)
+    if segmaps.shape[1] != cfg.resize:
+        segmaps = resize_bilinear(segmaps, cfg.resize)
+    images = normalize(center_crop(images, cfg.crop))
+    segmaps = normalize(center_crop(segmaps, cfg.crop))
     if flow is not None:
         flow = center_crop(flow, cfg.crop)
     return images, segmaps, flow

@@ -92,8 +92,22 @@ def _scan_kernel(x_ref, dt_ref, a_log_ref, bmat_ref, c_ref, d_ref, y_ref, h_scra
     a = jnp.exp(dt[:, :, None] * A[None, :, :])  # [Tc, D, N]
     b = (dt * x)[:, :, None] * B[:, None, :]
 
-    # in-chunk inclusive scan of the affine maps
-    a_cum, b_cum = jax.lax.associative_scan(_affine_combine, (a, b), axis=0)
+    # in-chunk inclusive scan of the affine maps — manual Hillis-Steele
+    # doubling (lax.associative_scan's recursive halving emits zero-size
+    # slices that Mosaic cannot lower)
+    Tc = a.shape[0]
+    a_cum, b_cum = a, b
+    shift = 1
+    while shift < Tc:
+        # element t combines with element t-shift (identity map for t<shift)
+        a_prev = jnp.concatenate(
+            [jnp.ones_like(a_cum[:shift]), a_cum[:-shift]], axis=0
+        )
+        b_prev = jnp.concatenate(
+            [jnp.zeros_like(b_cum[:shift]), b_cum[:-shift]], axis=0
+        )
+        a_cum, b_cum = a_prev * a_cum, a_cum * b_prev + b_cum
+        shift *= 2
 
     # fold in the carried state: h_t = a_cum_t * h_in + b_cum_t
     h_in = h_scratch[:][None, :, :]

@@ -249,6 +249,57 @@ class OverlapPatchEmbed(nn.Module):
         return x, H, W
 
 
+SRM_FILTERS = np.asarray(
+    [
+        [[0, 0, 0, 0, 0],
+         [0, -1 / 4, 2 / 4, -1 / 4, 0],
+         [0, 2 / 4, -4 / 4, 2 / 4, 0],
+         [0, -1 / 4, 2 / 4, -1 / 4, 0],
+         [0, 0, 0, 0, 0]],
+        [[-1 / 12, 2 / 12, -2 / 12, 2 / 12, -1 / 12],
+         [2 / 12, -6 / 12, 8 / 12, -6 / 12, 2 / 12],
+         [-2 / 12, 8 / 12, -12 / 12, 8 / 12, -2 / 12],
+         [2 / 12, -6 / 12, 8 / 12, -6 / 12, 2 / 12],
+         [-1 / 12, 2 / 12, -2 / 12, 2 / 12, -1 / 12]],
+        [[0, 0, 0, 0, 0],
+         [0, 0, 0, 0, 0],
+         [0, 1 / 2, -2 / 2, 1 / 2, 0],
+         [0, 0, 0, 0, 0],
+         [0, 0, 0, 0, 0]],
+    ],
+    dtype=np.float32,
+)
+
+
+def srm_filter(x: jax.Array) -> jax.Array:
+    """Fixed SRM noise-residual filters (reference SRMFilter,
+    mix_transformer_evp.py:517-547): each of 3 output channels is one SRM
+    kernel applied to all 3 input channels."""
+    # HWIO: [5, 5, in=3, out=3]; out channel k sums kernel k over all inputs
+    kernel = jnp.asarray(np.tile(SRM_FILTERS.transpose(1, 2, 0)[:, :, None, :], (1, 1, 3, 1)))
+    return jax.lax.conv_general_dilated(
+        x.astype(jnp.float32), kernel, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ).astype(x.dtype)
+
+
+def fft_prompt(x: jax.Array, rate: float = 0.25, prompt_type: str = "highpass") -> jax.Array:
+    """Frequency-domain prompt: zero out a centered low-frequency square of
+    relative area `rate` (highpass) or keep only it (lowpass) — the fft
+    input_type of the sibling PromptGenerator copy (modules.py:324-345)."""
+    B, H, W, C = x.shape
+    fx = jnp.fft.fftshift(jnp.fft.fft2(x.astype(jnp.float32), axes=(1, 2)), axes=(1, 2))
+    hh = int(H * np.sqrt(rate) / 2)
+    ww = int(W * np.sqrt(rate) / 2)
+    yy = jnp.abs(jnp.arange(H) - H // 2)[:, None]
+    xx = jnp.abs(jnp.arange(W) - W // 2)[None, :]
+    low = ((yy <= hh) & (xx <= ww))[None, :, :, None]
+    mask = ~low if prompt_type == "highpass" else low
+    fx = jnp.where(mask, fx, 0.0)
+    out = jnp.fft.ifft2(jnp.fft.ifftshift(fx, axes=(1, 2)), axes=(1, 2))
+    return jnp.real(out).astype(x.dtype)
+
+
 def gaussian_blur_5x5(x: jax.Array) -> jax.Array:
     """Fixed 5x5 binomial blur with reflect padding, depthwise over channels
     (reference GaussianFilter, mix_transformer_evp.py:495-514). x: [B,H,W,C]."""
@@ -283,10 +334,26 @@ class PromptGenerator(nn.Module):
         dims = cfg.embed_dims
         self._stages = [int(c) for c in cfg.tuning_stage]
 
+        if cfg.input_type == "all":
+            # fixed (non-learnable) spatial prompt replacing the segmap
+            self._all_prompt = self.variable(
+                "constants", "prompt",
+                lambda: jnp.zeros((cfg.img_size, cfg.img_size, 3), jnp.float32),
+            )
+        if cfg.input_type == "bimask":
+            # learnable positional embedding added to the repeated bimask
+            # (the bimaskSTP variant, mix_transformer_evp.py:576-577)
+            self._bimask_pos = self.param(
+                "bimask_pos_embed", nn.initializers.zeros,
+                (cfg.img_size, cfg.img_size, 3),
+            )
+
         hg = {}
         eg = {}
         lmlps = {}
         smlps = {}
+        fs_mlps = {}
+        fu_mlps = {}
         for s in self._stages:  # 1-based stage ids
             i = s - 1
             if cfg.handcrafted_tune:
@@ -307,10 +374,27 @@ class PromptGenerator(nn.Module):
                     )
                 smlps[s] = nn.Dense(dims[i], kernel_init=trunc_normal_init(),
                                     dtype=self.dtype, name=f"shared_mlp{s}")
+            elif cfg.adaptor == "fully_shared":
+                fs_mlps[s] = [
+                    nn.Dense(dims[i] // sf, kernel_init=trunc_normal_init(),
+                             dtype=self.dtype, name=f"fully_shared_mlp{s}_0"),
+                    nn.Dense(dims[i], kernel_init=trunc_normal_init(),
+                             dtype=self.dtype, name=f"fully_shared_mlp{s}_1"),
+                ]
+            elif cfg.adaptor == "fully_unshared":
+                for d in range(cfg.depths[i]):
+                    fu_mlps[(s, d)] = [
+                        nn.Dense(dims[i] // sf, kernel_init=trunc_normal_init(),
+                                 dtype=self.dtype, name=f"fully_unshared_mlp{s}_{d}_0"),
+                        nn.Dense(dims[i], kernel_init=trunc_normal_init(),
+                                 dtype=self.dtype, name=f"fully_unshared_mlp{s}_{d}_1"),
+                    ]
         self._handcrafted = hg
         self._embedding = eg
         self._light = lmlps
         self._shared = smlps
+        self._fully_shared = fs_mlps
+        self._fully_unshared = fu_mlps
 
     def init_prompts(self, segmap: jax.Array):
         """Cascade the (blurred) segmap through the handcrafted generators;
@@ -318,8 +402,21 @@ class PromptGenerator(nn.Module):
         segmap: [B, H, W, 3]."""
         cfg = self.cfg
         if not cfg.handcrafted_tune:
-            return {s: None for s in self._stages}
-        x = gaussian_blur_5x5(segmap) if cfg.input_type == "gaussian" else segmap
+            return {s: None for s in (1, 2, 3, 4)}
+        if cfg.input_type == "gaussian":
+            x = gaussian_blur_5x5(segmap)
+        elif cfg.input_type == "srm":
+            x = srm_filter(segmap)
+        elif cfg.input_type == "fft":
+            x = fft_prompt(segmap, cfg.freq_nums, cfg.prompt_type)
+        elif cfg.input_type == "all":
+            x = jnp.broadcast_to(
+                self._all_prompt.value[None].astype(segmap.dtype), segmap.shape
+            )
+        elif cfg.input_type == "bimask":
+            x = segmap + self._bimask_pos[None].astype(segmap.dtype)
+        else:
+            x = segmap
         feats = {}
         prev = x
         for s in (1, 2, 3, 4):
@@ -348,6 +445,12 @@ class PromptGenerator(nn.Module):
         if self.cfg.adaptor == "adaptor":
             feat = nn.gelu(self._light[(stage, depth)](feat), approximate=False)
             feat = self._shared[stage](feat)
+        elif self.cfg.adaptor == "fully_shared":
+            a, b = self._fully_shared[stage]
+            feat = b(nn.gelu(a(feat), approximate=False))
+        elif self.cfg.adaptor == "fully_unshared":
+            a, b = self._fully_unshared[(stage, depth)]
+            feat = b(nn.gelu(a(feat), approximate=False))
         return x + feat
 
 

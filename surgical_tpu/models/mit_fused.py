@@ -1,0 +1,208 @@
+"""Fused inference forward for the MiT-EVP backbone.
+
+A pure functional serving graph over the SAME parameter pytree as
+``models.mit_evp.MiTEVP`` (checkpoint-compatible by construction): flax
+stays the training surface; extraction/serving runs this lean path where
+every transformer block is one fused Pallas kernel
+(kernels/mit_block.fused_mit_block) — two activation reads + one write per
+block instead of ~10 HBM round-trips.
+
+Inference-only (no dropout/droppath; BatchNorm uses running stats).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from surgical_tpu.core.config import BackboneConfig, HeadConfig
+from surgical_tpu.kernels.mit_block import block_weights_from_params, fused_mit_block
+from surgical_tpu.models.mit_evp import gaussian_blur_5x5
+from surgical_tpu.models.segformer_head import bilinear_resize
+
+
+def _ln(x, p, eps=1e-6):
+    x32 = x.astype(jnp.float32)
+    m = jnp.mean(x32, -1, keepdims=True)
+    v = jnp.mean((x32 - m) ** 2, -1, keepdims=True)
+    return ((x32 - m) * jax.lax.rsqrt(v + eps) * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def _dense(x, p):
+    y = jnp.dot(x, p["kernel"].astype(x.dtype), preferred_element_type=jnp.float32)
+    if "bias" in p:
+        y = y + p["bias"]
+    return y.astype(x.dtype)
+
+
+def _conv(x, p, stride, padding):
+    y = jax.lax.conv_general_dilated(
+        x, p["kernel"].astype(x.dtype), (stride, stride), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if "bias" in p:
+        y = y + p["bias"]
+    return y.astype(x.dtype)
+
+
+def _bn(x, p, stats):
+    inv = jax.lax.rsqrt(stats["var"] + 1e-5) * p["scale"]
+    return ((x.astype(jnp.float32) - stats["mean"]) * inv + p["bias"]).astype(x.dtype)
+
+
+def _patch_embed(x, p, patch, stride):
+    pad = [(patch // 2, patch // 2)] * 2
+    y = _conv(x, p["proj"], stride, pad)
+    B, H, W, C = y.shape
+    return _ln(y.reshape(B, H * W, C), p["norm"]), H, W
+
+
+def _prompts(params, segmap, cfg: BackboneConfig):
+    """Handcrafted prompt cascade (PromptGenerator.init_prompts)."""
+    pg = params["prompt_generator"]
+    x = gaussian_blur_5x5(segmap) if cfg.input_type == "gaussian" else segmap
+    feats = {}
+    prev = x
+    for s in (1, 2, 3, 4):
+        key = f"handcrafted_generator{s}"
+        if key not in pg:
+            feats[s] = None
+            continue
+        patch, stride = (7, 4) if s == 1 else (3, 2)
+        tokens, H, W = _patch_embed(prev, pg[key], patch, stride)
+        feats[s] = tokens
+        prev = tokens.reshape(tokens.shape[0], H, W, -1)
+    return feats
+
+
+def _cross_attn(x_visual, x_flow, p, heads: int):
+    B, Nv, C = x_visual.shape
+    hd = C // heads
+    q = _dense(x_visual, p["q_proj"]).reshape(B, Nv, heads, hd)
+    k = _dense(x_flow, p["k_proj"]).reshape(B, -1, heads, hd)
+    v = _dense(x_flow, p["v_proj"]).reshape(B, -1, heads, hd)
+    a = jnp.einsum("bnhd,bmhd->bhnm", q, k) / np.sqrt(hd)
+    a = jax.nn.softmax(a.astype(jnp.float32), -1).astype(x_visual.dtype)
+    o = jnp.einsum("bhnm,bmhd->bnhd", a, v).reshape(B, Nv, C)
+    return _ln(x_visual + _dense(o, p["out_proj"]), p["norm"])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "head_cfg", "return_features", "bt")
+)
+def fused_forward(
+    params: dict,
+    batch_stats: dict,
+    images: jax.Array,
+    segmaps: jax.Array,
+    flow: Optional[jax.Array],
+    cfg: BackboneConfig,
+    head_cfg: HeadConfig,
+    return_features: bool = True,
+    bt: int = 8,
+):
+    dt = jnp.bfloat16
+    x = images.astype(dt)
+    B = x.shape[0]
+
+    handcrafted = _prompts(params, segmaps.astype(dt), cfg) if cfg.handcrafted_tune \
+        else {s: None for s in (1, 2, 3, 4)}
+    pg = params["prompt_generator"]
+
+    grids = []
+    for si in range(4):
+        stage = si + 1
+        patch, stride = (7, 4) if si == 0 else (3, 2)
+        x, H, W = _patch_embed(x, params[f"patch_embed{stage}"], patch, stride)
+        N, C = x.shape[1], x.shape[2]
+
+        tuned = str(stage) in cfg.tuning_stage
+        if tuned:
+            hand = handcrafted[stage]
+            emb = _dense(x, pg[f"embedding_generator{stage}"]) if cfg.embedding_tune else None
+            base = hand + emb if (hand is not None and emb is not None) else (
+                hand if hand is not None else emb
+            )
+
+        for d in range(cfg.depths[si]):
+            if tuned and base is not None:
+                feat = _dense(base, pg[f"lightweight_mlp{stage}_{d}"])
+                feat = jax.nn.gelu(feat.astype(jnp.float32), approximate=False).astype(dt)
+                x = x + _dense(feat, pg[f"shared_mlp{stage}"])
+
+            bp = params[f"block{stage}_{d}"]
+            xln = _ln(x, bp["norm1"])
+            attn = bp["attn"]
+            if cfg.sr_ratios[si] > 1:
+                sr = cfg.sr_ratios[si]
+                red = _conv(xln.reshape(B, H, W, C), attn["sr"], sr, "VALID")
+                kv_in = _ln(red.reshape(B, -1, C), attn["norm"])
+            else:
+                kv_in = xln
+            kv = _dense(kv_in, attn["kv"])
+            k, v = kv[..., :C], kv[..., C:]
+
+            weights = jax.tree.map(
+                lambda a: jnp.asarray(a, dt), block_weights_from_params(bp)
+            )
+            # per-stage batch tile sized to VMEM: ~0.5 MB of [N, C] activations
+            # per image (x, xln, out blocks are double-buffered and the
+            # kernel's f32 hidden/attn temporaries dominate at large N)
+            bt_fit = max(1, min(bt, (1 << 19) // (N * C * 2)))
+            while B % bt_fit != 0:
+                bt_fit -= 1
+            x = fused_mit_block(
+                x, xln, k, v, weights,
+                heads=cfg.num_heads[si], H=H, W=W, bt=bt_fit,
+            )
+        x = _ln(x, params[f"norm{stage}"])
+        grids.append(x.reshape(B, H, W, C))
+        x = grids[-1]
+
+    if cfg.with_flow and flow is not None:
+        fe = params["flow_encoder"]
+        fs = batch_stats["flow_encoder"]
+        f = flow.astype(dt)
+        def enc(h, i, k, s):
+            h = _conv(h, fe[f"conv{i}"], s, [(k // 2, k // 2)] * 2)
+            return jax.nn.relu(_bn(h, fe[f"bn{i}"], fs[f"bn{i}"]))
+        f = enc(f, 1, 7, 4)
+        f = enc(f, 2, 3, 2)
+        f3 = enc(f, 3, 3, 2)
+        f4 = enc(f3, 4, 3, 2)
+        t3 = grids[2].reshape(B, -1, cfg.embed_dims[2])
+        t3 = _cross_attn(t3, f3.reshape(B, -1, cfg.embed_dims[2]),
+                         params["cross_attn_s3"], cfg.flow_heads)
+        grids[2] = t3.reshape(grids[2].shape)
+        t4 = grids[3].reshape(B, -1, cfg.embed_dims[3])
+        t4 = _cross_attn(t4, f4.reshape(B, -1, cfg.embed_dims[3]),
+                         params["cross_attn_s4"], cfg.flow_heads)
+        grids[3] = t4.reshape(grids[3].shape)
+
+    # head
+    hp = params["head"]
+    hs = batch_stats["head"]
+    target = grids[3].shape[1:3]
+    parts = []
+    for i, g in ((4, grids[3]), (3, grids[2]), (2, grids[1]), (1, grids[0])):
+        e = _dense(g, hp[f"linear_c{i}"])
+        if e.shape[1:3] != target:
+            e = bilinear_resize(e, target)
+        parts.append(e)
+    h = jnp.concatenate(parts, axis=-1)
+    h = _conv(h, hp["linear_fuse"], 1, "VALID")
+    h = jax.nn.relu(_bn(h, hp["fuse_bn"], hs["fuse_bn"]))
+    feat = jnp.mean(h, axis=(1, 2)).astype(jnp.float32)
+    if return_features:
+        return feat
+
+    def mlp_head(hh, name):
+        hh = jax.nn.relu(_dense(hh, hp[f"{name}_1"]))
+        return _dense(hh, hp[f"{name}_2"])
+
+    return mlp_head(feat, "fc"), mlp_head(feat, "fc_ant")

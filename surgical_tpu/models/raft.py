@@ -143,16 +143,38 @@ def lookup_pyramid(pyr: list[jax.Array], flow: jax.Array, radius: int = 4) -> ja
     ).reshape(-1, 2)[:, ::-1]  # [(2r+1)^2, 2] as (dx, dy)
 
     out = []
+    K = d.shape[0]
     for lvl, corr in enumerate(pyr):
         scale = 2.0**lvl
-        coords = centers[:, :, None, :] / scale + d[None, None, :, :]  # [H,W,K,2]
-        # corr: [H*W, h, w] -> sample per source pixel
-        corr_hw = corr.reshape(H, W, corr.shape[1], corr.shape[2])
-        sampled = jax.vmap(
-            jax.vmap(lambda c, xy: bilinear_sample(c, xy), in_axes=(0, 0)),
-            in_axes=(0, 0),
-        )(corr_hw, coords)
-        out.append(sampled)
+        h, w = corr.shape[1], corr.shape[2]
+        coords = centers.reshape(H * W, 1, 2) / scale + d[None, :, :]  # [N,K,2]
+        cx, cy = coords[..., 0], coords[..., 1]
+        x0 = jnp.floor(cx)
+        y0 = jnp.floor(cy)
+        dx = cx - x0
+        dy = cy - y0
+        corr_flat = corr.reshape(H * W, h * w)
+
+        def gather(xi, yi):
+            valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+            idx = (
+                jnp.clip(yi.astype(jnp.int32), 0, h - 1) * w
+                + jnp.clip(xi.astype(jnp.int32), 0, w - 1)
+            )
+            vals = jnp.take_along_axis(corr_flat, idx, axis=1)  # [N, K]
+            return jnp.where(valid, vals, 0.0)
+
+        v00 = gather(x0, y0)
+        v01 = gather(x0 + 1, y0)
+        v10 = gather(x0, y0 + 1)
+        v11 = gather(x0 + 1, y0 + 1)
+        sampled = (
+            v00 * (1 - dx) * (1 - dy)
+            + v01 * dx * (1 - dy)
+            + v10 * (1 - dx) * dy
+            + v11 * dx * dy
+        )
+        out.append(sampled.reshape(H, W, K))
     return jnp.concatenate(out, axis=-1)
 
 

@@ -21,10 +21,12 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from surgical_tpu.parallel import mesh as meshlib
 from surgical_tpu.train.losses import smooth_l1, weighted_cross_entropy
+from surgical_tpu.train.optim import build_optimizer
 
 # Parameter-path substrings that stay trainable (train_evp.py:379-382).
 TRAINABLE_KEYS = ("head", "prompt_generator", "flow_encoder", "cross_attn_s3", "cross_attn_s4")
@@ -101,6 +103,141 @@ def make_backbone_train_step(
         return params, new_bs, opt_state, metrics
 
     return jax.jit(step, donate_argnums=(0, 1, 2))
+
+
+class BackboneTrainer:
+    """Epoch-level orchestration of the spatial stage (train_evp.py:300-908,
+    finetune_evp.py): wire-format host batches, clip-synchronized on-device
+    augmentation, frozen-trunk bf16 train step, mid-epoch validation every
+    ``val_every`` steps (train_evp.py:526-564), per-epoch checkpointing."""
+
+    def __init__(self, model, cfg, aug_cfg=None, mesh=None, val_every: int = 15):
+        from surgical_tpu.core.config import CHOLEC80_MEAN, CHOLEC80_STD
+        from surgical_tpu.data.transforms import AugConfig
+
+        self.model = model
+        self.cfg = cfg
+        self.aug_cfg = aug_cfg or AugConfig()
+        self.mesh = mesh if mesh is not None else meshlib.make_mesh()
+        self.val_every = val_every
+        self._mean = jnp.asarray(CHOLEC80_MEAN, jnp.float32) * 255.0
+        self._inv_std = 1.0 / (jnp.asarray(CHOLEC80_STD, jnp.float32) * 255.0)
+        self._tx = None
+        self._train_step = None
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    # -- wire-format -> device float (fused into the step graphs) -----------
+    def _dequant(self, img_u8, seg_u8, flow_f16):
+        img = img_u8.astype(jnp.float32) / 255.0
+        seg = jnp.broadcast_to(seg_u8.astype(jnp.float32) / 255.0, img.shape)
+        flow = None if flow_f16 is None else flow_f16.astype(jnp.float32)
+        return img, seg, flow
+
+    def _augment(self, img, seg, flow, rng):
+        """Per-clip synchronized train augmentation. Inputs [B, H, W, C]
+        (seq_len=1 clips, the stage-1 config train_evp.py:443)."""
+        from surgical_tpu.data.transforms import train_preprocess_clip
+
+        B = img.shape[0]
+        keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(jnp.arange(B))
+        def one(i, s, f, k):
+            ii, ss, ff = train_preprocess_clip(
+                i[None], s[None], None if f is None else f[None], k, self.aug_cfg
+            )
+            return ii[0], ss[0], (None if ff is None else ff[0])
+        if flow is None:
+            im, sg = jax.vmap(lambda i, s, k: one(i, s, None, k)[:2])(img, seg, keys)
+            return im, sg, None
+        return jax.vmap(one)(img, seg, flow, keys)
+
+    def init(self, rng: jax.Array, img_size: int = 250):
+        z = jnp.zeros((1, img_size, img_size, 3))
+        variables = self.model.init(rng, z, z, jnp.zeros((1, img_size, img_size, 2)))
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        self._tx = build_frozen_optimizer(build_optimizer(self.cfg.optim), params)
+        opt_state = self._tx.init(params)
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1, 2))
+        return meshlib.replicate(self.mesh, (params, batch_stats, opt_state))
+
+    def _train_step_impl(self, params, batch_stats, opt_state,
+                         img_u8, seg_u8, flow_f16, labels, ant, rng):
+        img, seg, flow = self._dequant(img_u8, seg_u8, flow_f16)
+        img, seg, flow = self._augment(img, seg, flow, jax.random.fold_in(rng, 0))
+
+        def loss_fn(p):
+            (y, y_ant), updates = self.model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                img, seg, flow, train=True,
+                rngs={"dropout": jax.random.fold_in(rng, 1)},
+                mutable=["batch_stats"],
+            )
+            y = y.astype(jnp.float32)
+            ce = weighted_cross_entropy(y, labels, reduction="sum")
+            reg = smooth_l1(y_ant.astype(jnp.float32), ant, reduction="sum")
+            correct = jnp.sum(jnp.argmax(y, -1) == labels)
+            return ce + reg, (ce, reg, correct, updates["batch_stats"])
+
+        (loss, (ce, reg, correct, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, opt_state = self._tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_bs, opt_state, loss, ce, reg, correct
+
+    def _eval_step_impl(self, params, batch_stats, img_u8, seg_u8, flow_f16):
+        from surgical_tpu.data.transforms import eval_preprocess_clip
+
+        img, seg, flow = self._dequant(img_u8, seg_u8, flow_f16)
+        img, seg, flow = eval_preprocess_clip(img, seg, flow, self.aug_cfg)
+        y, y_ant = self.model.apply(
+            {"params": params, "batch_stats": batch_stats}, img, seg, flow, train=False
+        )
+        return y.astype(jnp.float32), y_ant.astype(jnp.float32)
+
+    # -- loops ----------------------------------------------------------------
+    def train_epoch(self, state, batches, rng, epoch: int,
+                    val_batches=None, logger=None, step_offset: int = 0):
+        import time as _time
+
+        params, batch_stats, opt_state = state
+        total = correct = seen = 0.0
+        t0 = _time.time()
+        for bi, (img, seg, flow, labels, ant) in enumerate(batches):
+            step_rng = jax.random.fold_in(jax.random.fold_in(rng, epoch), bi)
+            params, batch_stats, opt_state, loss, ce, reg, corr = self._train_step(
+                params, batch_stats, opt_state, img, seg, flow,
+                labels.astype(jnp.int32), ant, step_rng,
+            )
+            total += float(loss)
+            correct += int(corr)
+            seen += len(labels)
+            if val_batches is not None and (bi + 1) % self.val_every == 0:
+                vm = self.evaluate((params, batch_stats), val_batches)
+                if logger is not None:
+                    logger.log(step_offset + bi, vm, prefix="midval/")
+        metrics = {
+            "train_loss": total,
+            "train_acc": correct / max(seen, 1),
+            "train_elapsed_time": _time.time() - t0,
+            "frames_per_s": seen / max(_time.time() - t0, 1e-9),
+        }
+        return (params, batch_stats, opt_state), metrics
+
+    def evaluate(self, state, batches, horizon: float | None = None):
+        from surgical_tpu.eval.metrics import MAETriad, frame_accuracy
+
+        params, batch_stats = state[0], state[1]
+        triad = MAETriad(horizon=horizon or self.cfg.horizon)
+        preds, labs = [], []
+        for img, seg, flow, labels, ant in batches:
+            y, y_ant = self._eval_step(params, batch_stats, img, seg, flow)
+            preds.append(np.argmax(np.asarray(y), -1))
+            labs.append(np.asarray(labels))
+            triad.update(np.asarray(y_ant), np.asarray(ant))
+        flat_p = np.concatenate(preds) if preds else np.zeros(0, int)
+        flat_l = np.concatenate(labs) if labs else np.zeros(0, int)
+        return {"acc": frame_accuracy(flat_l, flat_p), **triad.result()}
 
 
 def make_backbone_eval_step(model) -> Callable:

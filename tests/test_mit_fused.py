@@ -1,0 +1,64 @@
+"""Fused serving forward vs the flax training forward (same params)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from surgical_tpu.core.config import BackboneConfig, HeadConfig
+from surgical_tpu.models.mit_evp import MiTEVP
+from surgical_tpu.models.mit_fused import fused_forward
+
+
+def test_fused_forward_matches_flax(rng):
+    """The inference graph over the same pytree agrees with flax apply
+    (bf16 kernel path => loose tolerance, rank correlation must be high)."""
+    cfg = BackboneConfig(
+        variant="tiny", embed_dims=(16, 32, 40, 64), num_heads=(1, 2, 4, 8),
+        depths=(1, 1, 2, 1), sr_ratios=(8, 4, 2, 1), qkv_bias=True,
+        drop_path_rate=0.0, img_size=64,
+    )
+    head = HeadConfig(embedding_dim=64, hidden=32)
+    model = MiTEVP(cfg, head)  # fp32 flax reference
+
+    B = 2
+    img = jnp.asarray(rng.standard_normal((B, 64, 64, 3)).astype(np.float32))
+    seg = jnp.asarray(rng.standard_normal((B, 64, 64, 3)).astype(np.float32))
+    flow = jnp.asarray(rng.standard_normal((B, 64, 64, 2)).astype(np.float32))
+    variables = model.init(jax.random.key(0), img, seg, flow)
+
+    ref = np.asarray(
+        model.apply(variables, img, seg, flow, return_features=True), np.float32
+    )
+    # run the fused graph with the Pallas kernel in interpret mode on CPU
+    import surgical_tpu.kernels.mit_block as mb
+
+    orig = mb.fused_mit_block
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    mb_fused = mb.fused_mit_block
+    try:
+        mb.fused_mit_block = interp
+        import surgical_tpu.models.mit_fused as mf
+        mf.fused_mit_block = interp
+        got = np.asarray(
+            fused_forward(
+                variables["params"], variables["batch_stats"], img, seg, flow,
+                cfg, head, return_features=True, bt=1,
+            ),
+            np.float32,
+        )
+    finally:
+        mb.fused_mit_block = mb_fused
+        import surgical_tpu.models.mit_fused as mf
+        mf.fused_mit_block = mb_fused
+
+    # bf16 fused vs fp32 flax: expect close but not exact
+    denom = np.maximum(np.abs(ref), 1e-2)
+    rel = np.abs(got - ref) / denom
+    assert np.median(rel) < 0.05, (np.median(rel), np.abs(got - ref).max())
+    corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.99, corr
