@@ -31,6 +31,20 @@ from surgical_tpu.data.anticipation import anticipation_gt, phases_to_one_hot
 PHASE_TO_ID = {name: i for i, name in enumerate(PHASE_NAMES)}
 DOWNSAMPLE = 25
 
+# M2CAI16 workflow-challenge variant: 8 phases, no tool annotations
+# (get_path_labels.py M2CAI16 branch; M2caiSegmapDataset uses label cols 1:9)
+M2CAI_PHASE_NAMES = (
+    "TrocarPlacement",
+    "Preparation",
+    "CalotTriangleDissection",
+    "ClippingCutting",
+    "GallbladderDissection",
+    "GallbladderPackaging",
+    "CleaningCoagulation",
+    "GallbladderRetraction",
+)
+M2CAI_PHASE_TO_ID = {name: i for i, name in enumerate(M2CAI_PHASE_NAMES)}
+
 
 @dataclass
 class VideoIndex:
@@ -54,8 +68,10 @@ class Split:
         return np.concatenate([[0], np.cumsum(self.num_each)[:-1]]).astype(np.int64)
 
 
-def parse_phase_file(path: str) -> np.ndarray:
-    """25-fps per-frame phase ids (header row skipped)."""
+def parse_phase_file(path: str, phase_to_id: dict | None = None) -> np.ndarray:
+    """25-fps per-frame phase ids (header row skipped). Pass
+    ``M2CAI_PHASE_TO_ID`` for the M2CAI16 variant."""
+    phase_to_id = phase_to_id or PHASE_TO_ID
     phases = []
     with open(path) as f:
         next(f)
@@ -63,7 +79,7 @@ def parse_phase_file(path: str) -> np.ndarray:
             parts = line.split()
             if not parts:
                 continue
-            phases.append(PHASE_TO_ID[parts[1]])
+            phases.append(phase_to_id[parts[1]])
     return np.asarray(phases, dtype=np.int64)
 
 

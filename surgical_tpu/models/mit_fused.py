@@ -190,10 +190,10 @@ def fused_forward(
     target = grids[3].shape[1:3]
     parts = []
     for i, g in ((4, grids[3]), (3, grids[2]), (2, grids[1]), (1, grids[0])):
-        e = _dense(g, hp[f"linear_c{i}"])
-        if e.shape[1:3] != target:
-            e = bilinear_resize(e, target)
-        parts.append(e)
+        # resize commutes with the linear projection: downsample at C_stage
+        if g.shape[1:3] != target:
+            g = bilinear_resize(g, target)
+        parts.append(_dense(g, hp[f"linear_c{i}"]))
     h = jnp.concatenate(parts, axis=-1)
     h = _conv(h, hp["linear_fuse"], 1, "VALID")
     h = jax.nn.relu(_bn(h, hp["fuse_bn"], hs["fuse_bn"]))

@@ -49,9 +49,14 @@ class SegFormerPoolHead(nn.Module):
 
         embedded = []
         for i, c in ((4, c4), (3, c3), (2, c2), (1, c1)):  # concat order: c4..c1
+            # bilinear resize and the per-pixel Dense are both linear, so
+            # they commute: downsample at C_stage (cheap) BEFORE projecting
+            # to 2048 — numerically identical to the reference's
+            # project-then-resize (segformer_head.py:146-156), ~32x less
+            # resize traffic and projection FLOPs for c1
+            if c.shape[1:3] != target:
+                c = bilinear_resize(c, target)
             e = nn.Dense(cfg.embedding_dim, dtype=self.dtype, name=f"linear_c{i}")(c)
-            if e.shape[1:3] != target:
-                e = bilinear_resize(e, target)
             embedded.append(e)
         x = jnp.concatenate(embedded, axis=-1)  # [B, 7, 7, 4*2048]
 

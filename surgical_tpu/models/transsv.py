@@ -157,6 +157,42 @@ class Transformer231(nn.Module):
         return dec
 
 
+class Adaptor(nn.Module):
+    """Prompt adaptor for LFB / temporal features (reference ``Adaptor``,
+    adapter_transformer.py:241-288 — defined there but commented out of the
+    active forward; provided here as an opt-in module).
+
+    ``lt_mode=True``:  x, prompt [T, f_dim]   -> x + mlp(prompt)
+    ``lt_mode=False``: x, prompt [T, len_q, C] -> flattened-window variant
+    """
+
+    embed_dim: int
+    scale_factor: int = 4
+    len_q: int = 30
+    num_classes: int = 14
+
+    @nn.compact
+    def __call__(self, x: jax.Array, prompt: jax.Array, lt_mode: bool = True) -> jax.Array:
+        light = nn.Dense(
+            self.embed_dim // self.scale_factor,
+            kernel_init=torch_like_uniform(self.embed_dim),
+            name="lightweight_mlp",
+        )
+        shared = nn.Dense(
+            self.embed_dim,
+            kernel_init=torch_like_uniform(self.embed_dim // self.scale_factor),
+            name="shared_mlp",
+        )
+        if lt_mode:
+            feat = shared(nn.gelu(light(prompt), approximate=False))
+            return x + feat
+        T = x.shape[0]
+        xf = x.reshape(T, -1)
+        pf = prompt.reshape(T, -1)
+        feat = shared(nn.gelu(light(pf), approximate=False))
+        return (xf + feat).reshape(T, self.len_q, self.num_classes)
+
+
 class RefinementTransformer(nn.Module):
     """The full refinement stage (reference ``Transformer``,
     adapter_transformer.py:290-352): temporal logits gₜ from the MS-TCN's

@@ -59,15 +59,16 @@ def make_raw_feature_fn(model, variables, mesh=None):
     mesh = mesh if mesh is not None else meshlib.make_mesh()
     variables = meshlib.replicate(mesh, variables)
     batch_shard = meshlib.batch_sharding(mesh)
-    mean = jnp.asarray(CHOLEC80_MEAN, jnp.float32) * 255.0
-    inv_std = 1.0 / (jnp.asarray(CHOLEC80_STD, jnp.float32) * 255.0)
+    mean = (jnp.asarray(CHOLEC80_MEAN, jnp.float32) * 255.0).astype(jnp.bfloat16)
+    inv_std = (1.0 / (jnp.asarray(CHOLEC80_STD, jnp.float32) * 255.0)).astype(jnp.bfloat16)
 
     @jax.jit
     def feature_fn(variables, img_u8, seg_u8, flow_f16):
-        img = (img_u8.astype(jnp.float32) - mean) * inv_std
-        seg = (seg_u8.astype(jnp.float32) - mean) * inv_std  # [B,H,W,1] bc over ch
+        # bf16 dequant halves the materialized activation traffic
+        img = (img_u8.astype(jnp.bfloat16) - mean) * inv_std
+        seg = (seg_u8.astype(jnp.bfloat16) - mean) * inv_std  # [B,H,W,1] bc over ch
         seg = jnp.broadcast_to(seg, img.shape)
-        flow = None if flow_f16 is None else flow_f16.astype(jnp.float32)
+        flow = None if flow_f16 is None else flow_f16.astype(jnp.bfloat16)
         return model.apply(variables, img, seg, flow, return_features=True)
 
     def wrapped(img_u8, seg_u8, flow_f16):
