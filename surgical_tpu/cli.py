@@ -297,6 +297,15 @@ def cmd_evaluate(args) -> int:
             continue
         gts.append(read_phase_txt(g))
         preds.append(read_phase_txt(p))
+        if args.vis:
+            from surgical_tpu.eval.visualize import plot_ribbon
+
+            os.makedirs(args.vis, exist_ok=True)
+            m = min(len(gts[-1]), len(preds[-1]))
+            plot_ribbon(
+                gts[-1][:m], preds[-1][:m], f"video{vid:02d}",
+                os.path.join(args.vis, f"video{vid:02d}_vis.png"),
+            )
     res = evaluate_videos(gts, preds)
     print(f"{'Phase':<26} {'Jaccard':>14} {'Precision':>14} {'Recall':>14}")
     for i, name in enumerate(PHASE_NAMES):
@@ -425,6 +434,7 @@ def main(argv=None) -> int:
     sp.add_argument("--pred", required=True)
     sp.add_argument("--first", type=int, default=41)
     sp.add_argument("--last", type=int, default=80)
+    sp.add_argument("--vis", default=None, help="directory for GT/pred ribbon PNGs")
     sp.set_defaults(fn=cmd_evaluate)
 
     sp = sub.add_parser("selfcheck")

@@ -89,8 +89,11 @@ def _scan_kernel(x_ref, dt_ref, a_log_ref, bmat_ref, c_ref, d_ref, y_ref, h_scra
     B = bmat_ref[:].astype(jnp.float32)  # [Tc, N]
     C = c_ref[:].astype(jnp.float32)
 
-    a = jnp.exp(dt[:, :, None] * A[None, :, :])  # [Tc, D, N]
-    b = (dt * x)[:, :, None] * B[:, None, :]
+    # state layout [Tc, N, D]: D (usually 128) in the lane dimension, and the
+    # final contraction over N becomes a sublane reduction (Mosaic cannot
+    # lower the lane-reduction form — "only constant accumulators supported")
+    a = jnp.exp(dt[:, None, :] * A.T[None, :, :])  # [Tc, N, D]
+    b = B[:, :, None] * (dt * x)[:, None, :]
 
     # in-chunk inclusive scan of the affine maps — manual Hillis-Steele
     # doubling (lax.associative_scan's recursive halving emits zero-size
@@ -111,12 +114,16 @@ def _scan_kernel(x_ref, dt_ref, a_log_ref, bmat_ref, c_ref, d_ref, y_ref, h_scra
 
     # fold in the carried state: h_t = a_cum_t * h_in + b_cum_t
     h_in = h_scratch[:][None, :, :]
-    h = a_cum * h_in + b_cum  # [Tc, D, N]
+    h = a_cum * h_in + b_cum  # [Tc, N, D]
 
-    h_scratch[:] = h[-1]
+    # static slice (negative indexing lowers to dynamic_slice, which Mosaic
+    # does not implement)
+    h_scratch[:] = jax.lax.slice_in_dim(h, Tc - 1, Tc, axis=0)[0]
 
-    y = jnp.einsum("tdn,tn->td", h, C)  # [Tc, D]
-    y_ref[:] = (y + d_ref[0, :][None, :] * x).astype(y_ref.dtype)
+    # y[t, d] = sum_n h[t, n, d] * C[t, n]: a sublane reduction
+    y = jnp.sum(h * C[:, :, None], axis=1)  # [Tc, D]
+    skip = d_ref[0, :][None, :] * x
+    y_ref[:] = (y + skip).astype(y_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
@@ -147,7 +154,7 @@ def selective_scan_pallas(x, dt, A, B, C, D, chunk: int = 128, interpret: bool =
         ],
         out_specs=pl.BlockSpec((chunk, d_inner), lambda t: (t, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Tp, d_inner), x.dtype),
-        scratch_shapes=[pltpu.VMEM((d_inner, N), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((N, d_inner), jnp.float32)],
         interpret=interpret,
     )(x, dt, A, B, C, D[None, :])
     return out[:T]
