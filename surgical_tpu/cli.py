@@ -319,6 +319,56 @@ def cmd_evaluate(args) -> int:
     return 0
 
 
+def cmd_precompute_flow(args) -> int:
+    """Optical-flow precompute (RAFT.py equivalent): resumable, idempotent,
+    per-pair error-continue. Frames at 1 fps (every 25th), flow between
+    frame n and n+25, saved as raft_flow_npy/<video>/<frame>.npy."""
+    import jax
+    import jax.numpy as jnp
+
+    from surgical_tpu.data.datasets import load_image
+    from surgical_tpu.flow.precompute import FlowPrecomputeDriver
+    from surgical_tpu.models.raft import RAFT
+
+    model = RAFT(iters=args.iters)
+    params = None
+
+    def flow_fn(f1, f2):
+        nonlocal params
+        # frames arrive [H, W, 3] float32 in [0, 255]; RAFT wants [-1, 1]
+        a = jnp.asarray(f1 / 127.5 - 1.0, jnp.float32)
+        b = jnp.asarray(f2 / 127.5 - 1.0, jnp.float32)
+        if params is None:
+            params = model.init(jax.random.key(0), a, b)
+            if args.checkpoint:
+                from surgical_tpu.core.checkpoint import CheckpointStore
+
+                store = CheckpointStore(args.checkpoint)
+                params = store.restore(store.latest_step(), params)
+        return np.asarray(model.apply(params, a, b))
+
+    driver = FlowPrecomputeDriver(
+        flow_fn,
+        os.path.join(args.root, "raft_flow_npy"),
+        log_path=os.path.join(args.root, "flow_precompute_log.txt"),
+    )
+    img_root = os.path.join(args.root, "cutMargin")
+    for video in sorted(os.listdir(img_root), key=lambda s: int(s) if s.isdigit() else 0):
+        vdir = os.path.join(img_root, video)
+        if not os.path.isdir(vdir):
+            continue
+        frames = sorted(
+            int(f[:-4]) for f in os.listdir(vdir) if f.endswith(".jpg")
+        )
+        driver.run_video(
+            video,
+            frames,
+            lambda n, vdir=vdir: load_image(os.path.join(vdir, f"{n}.jpg")).astype(np.float32),
+        )
+        print(f"video {video}: {driver.stats}")
+    return 0
+
+
 def cmd_selfcheck(args) -> int:
     """Synthetic end-to-end smoke: index -> features -> temporal -> refiner ->
     predict -> relaxed eval, no real data needed."""
@@ -436,6 +486,12 @@ def main(argv=None) -> int:
     sp.add_argument("--last", type=int, default=80)
     sp.add_argument("--vis", default=None, help="directory for GT/pred ribbon PNGs")
     sp.set_defaults(fn=cmd_evaluate)
+
+    sp = sub.add_parser("precompute-flow")
+    sp.add_argument("--root", required=True, help="dataset root with cutMargin/")
+    sp.add_argument("--iters", type=int, default=20)
+    sp.add_argument("--checkpoint", default=None, help="RAFT checkpoint store dir")
+    sp.set_defaults(fn=cmd_precompute_flow)
 
     sp = sub.add_parser("selfcheck")
     sp.set_defaults(fn=cmd_selfcheck)
