@@ -139,9 +139,29 @@ def bench_temporal_inference(T: int = 2048, iters: int = 20):
     return (time.perf_counter() - t0) / iters
 
 
+def bench_mamba_inference(T: int = 2048, iters: int = 20):
+    """Causal Mamba whole-video forward on the Pallas selective-scan kernel."""
+    from surgical_tpu.core.config import MambaConfig
+    from surgical_tpu.models.mamba import CausalMambaModel
+
+    cfg = MambaConfig()
+    model = CausalMambaModel(cfg)  # backend="auto" -> pallas on TPU
+    x = jax.device_put(
+        np.random.default_rng(0).standard_normal((1, T, cfg.f_dim)).astype(np.float32)
+    )
+    params = model.init(jax.random.key(0), x)
+    fn = jax.jit(lambda p, x: model.apply(p, x))
+    _ = np.asarray(fn(params, x))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        _ = np.asarray(fn(params, x))
+    return (time.perf_counter() - t0) / iters
+
+
 def main():
     fps, e2e_fps = bench_lfb_extraction()
     video_s = bench_temporal_inference()
+    mamba_s = bench_mamba_inference()
     result = {
         "metric": "lfb_extraction_throughput",
         "value": round(fps, 1),
@@ -151,6 +171,7 @@ def main():
             "tunnel_limited_e2e_fps": round(e2e_fps, 1),
             "temporal_inference_s_per_video": round(video_s, 4),
             "temporal_vs_baseline": round(BASELINE_VIDEO_LATENCY_S / video_s, 3),
+            "mamba_inference_s_per_video": round(mamba_s, 4),
             "device": str(jax.devices()[0]),
             "note": "inputs staged in HBM (prefetch pipeline); env tunnel ~0.05-2 GB/s is not representative of a TPU host",
         },
