@@ -135,20 +135,12 @@ class BackboneTrainer:
 
     def _augment(self, img, seg, flow, rng):
         """Per-clip synchronized train augmentation. Inputs [B, H, W, C]
-        (seq_len=1 clips, the stage-1 config train_evp.py:443)."""
-        from surgical_tpu.data.transforms import train_preprocess_clip
+        (seq_len=1 clips, the stage-1 config train_evp.py:443). Uses the
+        batch-level stack whose rotation is a table gather (a vmapped
+        dynamic-index rotate costs ~130 ms/step on TPU)."""
+        from surgical_tpu.data.transforms import train_preprocess_batch
 
-        B = img.shape[0]
-        keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(jnp.arange(B))
-        def one(i, s, f, k):
-            ii, ss, ff = train_preprocess_clip(
-                i[None], s[None], None if f is None else f[None], k, self.aug_cfg
-            )
-            return ii[0], ss[0], (None if ff is None else ff[0])
-        if flow is None:
-            im, sg = jax.vmap(lambda i, s, k: one(i, s, None, k)[:2])(img, seg, keys)
-            return im, sg, None
-        return jax.vmap(one)(img, seg, flow, keys)
+        return train_preprocess_batch(img, seg, flow, rng, self.aug_cfg)
 
     def init(self, rng: jax.Array, img_size: int = 250):
         z = jnp.zeros((1, img_size, img_size, 3))
