@@ -16,11 +16,16 @@ Layer map (see SURVEY.md for the reference analysis this is built to):
                whole-video feature store (replaces LFB pickles)
 - ``models``   MiT-EVP backbone, SegFormer pooled head, MS-TCN, causal Mamba,
                Trans-SVNet refinement transformer, RAFT
-- ``kernels``  Pallas TPU kernels for the hot ops
-- ``train``    pjit'd train/eval steps for the three training stages
+- ``kernels``  Pallas TPU kernels for the hot ops (selective scan, fused
+               MiT block)
+- ``native``   C++ data loader (libjpeg decode + antialiased resize, ctypes)
+- ``train``    pjit'd train/eval steps for the three training stages + LFB
+               extraction
 - ``eval``     MAE triad, classification metrics, relaxed-MICCAI evaluator,
-               prediction txt writer
+               prediction txt writer, visualization
 - ``flow``     resumable optical-flow precompute driver
+- ``utils``    metrics logging (JSONL + TensorBoard), stopwatch
+- ``cli``      one entrypoint replacing the reference's six scripts
 """
 
 __version__ = "0.1.0"
