@@ -141,6 +141,8 @@ def import_mit_state_dict(
     """
     params: dict = {}
     for s in range(1, 5):
+        if f"patch_embed{s}.proj.weight" not in sd:
+            continue  # partial checkpoint: import whatever stages exist
         params[f"patch_embed{s}"] = {
             "proj": _conv(sd, f"patch_embed{s}.proj"),
             "norm": _ln(sd, f"patch_embed{s}.norm"),
