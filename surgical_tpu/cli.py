@@ -204,8 +204,13 @@ def cmd_train_temporal(args) -> int:
 
     params, opt_state = trainer.init(jax.random.key(cfg.seed), f_dim=train_ds.features.dim)
     store = CheckpointStore(_work_paths(args.work)["ckpt_temporal"])
+    start_epoch = 0
+    if args.resume and store.latest_step() is not None:
+        start_epoch = store.latest_step() + 1
+        params = store.restore(store.latest_step(), params)
+        print(f"resumed from epoch {store.latest_step()}")
     key = jax.random.key(cfg.seed + 1)
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         params, opt_state, tm = trainer.train_epoch(params, opt_state, train_ds, key, epoch)
         vm, _ = trainer.evaluate(params, val_ds)
         sm, _ = trainer.evaluate(params, test_ds)
@@ -464,6 +469,8 @@ def main(argv=None) -> int:
     sp.add_argument("--work", required=True)
     sp.add_argument("--model", choices=["mstcn", "mamba"], default="mstcn")
     sp.add_argument("--epochs", type=int, default=25)
+    sp.add_argument("--resume", action="store_true",
+                    help="continue from the latest checkpoint in the work dir")
     sp.set_defaults(fn=cmd_train_temporal)
 
     sp = sub.add_parser("train-refiner")
