@@ -105,3 +105,31 @@ def test_single_stage_hidden(rng):
     out, hidden = stage.apply(params, x, return_hidden=True)
     assert out.shape == (1, 10, 14)
     assert hidden.shape == (1, 10, 8)
+
+
+def test_dual_tower_variant(rng):
+    """M4: both towers fed from stage1_phase (reference quirk preserved) —
+    so with identical refinement-stage inits... the towers still differ
+    (separate refinement params); check shapes + the shared-stage1 property."""
+    from surgical_tpu.models.mstcn import DualTowerMSTCN
+
+    cfg = MSTCNConfig(stages=2, layers=2, f_maps=8, f_dim=16, dropout=0.0)
+    model = DualTowerMSTCN(cfg)
+    x = jnp.asarray(rng.standard_normal((1, 20, cfg.f_dim)).astype(np.float32))
+    params = model.init(jax.random.key(0), x)
+    cls, ant = model.apply(params, x)
+    assert cls.shape == (2, 1, 20, 14) and ant.shape == (2, 1, 20, 14)
+    # stage-0 outputs of both towers are IDENTICAL (both call stage1_phase,
+    # mstcn.py:57-72)
+    np.testing.assert_array_equal(np.asarray(cls[0]), np.asarray(ant[0]))
+
+
+def test_hidden_feature_variant(rng):
+    from surgical_tpu.models.mstcn import HiddenFeatureMSTCN
+
+    cfg = MSTCNConfig(stages=2, layers=2, f_maps=8, f_dim=16, dropout=0.0)
+    model = HiddenFeatureMSTCN(cfg)
+    x = jnp.asarray(rng.standard_normal((1, 15, cfg.f_dim)).astype(np.float32))
+    params = model.init(jax.random.key(0), x)
+    hidden = model.apply(params, x)
+    assert hidden.shape == (1, 15, cfg.f_maps)
