@@ -34,13 +34,16 @@ def make_batches(rng, n_batches=2, B=4, size=64):
 
 @pytest.fixture(scope="module")
 def trainer_state():
+    """NOTE: the train step DONATES its state buffers, so each test gets a
+    fresh state via make_state() (reusing one state across tests would hit
+    deleted buffers)."""
     trainer = BackboneTrainer(
         tiny_model(),
         TrainConfig(optim=OptimConfig(name="sgd", lr=1e-3)),
         aug_cfg=AugConfig(resize=64, crop=56),
     )
-    state = trainer.init(jax.random.key(0), img_size=64)
-    return trainer, state
+    make_state = lambda: trainer.init(jax.random.key(0), img_size=64)
+    return trainer, make_state
 
 
 def test_epoch_eval_and_freeze_semantics(trainer_state, rng):
@@ -49,7 +52,8 @@ def test_epoch_eval_and_freeze_semantics(trainer_state, rng):
     NOTE: the train step donates its state buffers, so the pre-training
     params are snapshotted to host first (callers must treat train_epoch as
     consuming its state)."""
-    trainer, state = trainer_state
+    trainer, make_state = trainer_state
+    state = make_state()
     p_before = jax.tree.map(np.asarray, state[0])
 
     batches = make_batches(rng)
@@ -78,8 +82,8 @@ def test_epoch_eval_and_freeze_semantics(trainer_state, rng):
 def test_freeze_set(trainer_state):
     """Only head/prompt/flow/cross-attn parameters may move
     (train_evp.py:379-382)."""
-    trainer, state = trainer_state
-    params = state[0]
+    trainer, make_state = trainer_state
+    params = make_state()[0]
     mask = trainable_mask(params)
     flat = jax.tree_util.tree_leaves_with_path(mask)
     trainable = {str(p[0].key) for p, v in flat if v}
@@ -95,3 +99,26 @@ def test_early_stop():
     assert not es.update(1.0)
     assert es.update(0.01)
     assert es.stopped
+
+
+def test_midepoch_validation_logged(trainer_state, rng, tmp_path):
+    """Mid-epoch validation fires every `val_every` steps and logs
+    (train_evp.py:526-564 semantics)."""
+    from surgical_tpu.utils.logging import MetricsLogger
+
+    trainer, make_state = trainer_state
+    state = make_state()
+    trainer.val_every = 2
+    logger = MetricsLogger(str(tmp_path), tensorboard=False)
+    batches = make_batches(rng, n_batches=4)
+    val_batches = make_batches(rng, n_batches=1)
+    state, _ = trainer.train_epoch(
+        state, batches, jax.random.key(3), epoch=2,
+        val_batches=val_batches, logger=logger,
+    )
+    import json
+
+    lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    midvals = [l for l in lines if any(k.startswith("midval/") for k in l)]
+    assert len(midvals) == 2  # after steps 2 and 4
+    assert "midval/acc" in midvals[0]
