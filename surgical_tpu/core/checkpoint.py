@@ -32,6 +32,9 @@ class CheckpointStore:
     def _manifest_path(self, step: int) -> str:
         return os.path.join(self.directory, f"step_{step:08d}.manifest.json")
 
+    def _aux_dir(self, step: int) -> str:
+        return os.path.join(self.directory, f"step_{step:08d}.aux")
+
     # -- api ---------------------------------------------------------------
     def save(
         self,
@@ -39,15 +42,32 @@ class CheckpointStore:
         state: Any,
         metrics: dict | None = None,
         config: dict | None = None,
+        extra: dict | None = None,
+        aux: Any = None,
         force: bool = True,
     ) -> None:
+        """Save the primary state pytree (typically params), plus:
+
+        - ``aux``: a second pytree (batch_stats / optimizer state / anything
+          needed to *continue training* but not to *use* the model). Kept
+          separate so inference-time restores need only a params template.
+          Fixes the reference's silent eval-divergence class of bug where BN
+          running stats live outside the saved state_dict slice
+          (generate_evp_LFB.py:412-437 depends on them being present).
+        - ``extra``: small JSON-able host state (e.g. plateau controller),
+          recorded in the manifest.
+        """
         path = self._step_dir(step)
         self._ckptr.save(path, state, force=force)
+        if aux is not None:
+            self._ckptr.save(self._aux_dir(step), aux, force=force)
         self._ckptr.wait_until_finished()
         manifest = {
             "step": step,
             "metrics": _jsonable(metrics or {}),
             "config": _jsonable(config or {}),
+            "extra": _jsonable(extra or {}),
+            "has_aux": aux is not None,
         }
         with open(self._manifest_path(step), "w") as f:
             json.dump(manifest, f, indent=2, sort_keys=True)
@@ -84,6 +104,13 @@ class CheckpointStore:
     def restore(self, step: int, template: Any) -> Any:
         """Restore into the shape/dtype/sharding structure of `template`."""
         return self._ckptr.restore(self._step_dir(step), template)
+
+    def restore_aux(self, step: int, template: Any) -> Any:
+        """Restore the auxiliary training state saved alongside ``step``."""
+        return self._ckptr.restore(self._aux_dir(step), template)
+
+    def has_aux(self, step: int) -> bool:
+        return os.path.isdir(self._aux_dir(step))
 
 
 def _jsonable(tree: Any) -> Any:
