@@ -102,10 +102,34 @@ def _backbone_and_data(args, split_scheme: str):
     return model, cfg, datasets
 
 
+def _eval_batches(ds, batch_size: int):
+    """Fresh eval-batch generator over a ClipDataset, in frame order."""
+    from surgical_tpu.data.datasets import prefetch_batches
+
+    return (
+        (i, s, f, p.astype(np.int32), a)
+        for (i, s, f, p, a) in prefetch_batches(ds, np.arange(len(ds)), batch_size)
+    )
+
+
+def _backbone_restore_templates(state):
+    """(state_template, aux_template) trees for CheckpointStore restore."""
+    params, batch_stats, opt_state = state
+    return {"params": params, "batch_stats": batch_stats}, {"opt_state": opt_state}
+
+
 def cmd_train_backbone(args) -> int:
     """Stage-1 backbone training / stage-2 finetune (train_evp.py /
-    finetune_evp.py equivalents; finetune = --early-stop-loss on the
-    stage-2 split with the stage-1 best checkpoint resumed)."""
+    finetune_evp.py equivalents).
+
+    Matches the reference's epoch loop (train_evp.py:605-907): train, then
+    full val + test evaluation (frame/video accuracy, macro PRJ, MAE triad),
+    metric-keyed checkpoints (best-by-val query, not filename parsing), and
+    mid-epoch validation every ``val_every`` steps (train_evp.py:526-564).
+    ``--init-from`` is the finetune handoff (finetune_evp.py:283-286: resume
+    the stage-1 best checkpoint, fresh optimizer); ``--resume`` continues an
+    interrupted run with full state (params + BN stats + optimizer).
+    """
     import jax
 
     from surgical_tpu.core.checkpoint import CheckpointStore
@@ -121,30 +145,77 @@ def cmd_train_backbone(args) -> int:
         TrainConfig(optim=OptimConfig(name=args.optimizer, lr=args.lr, weight_decay=0.0)),
     )
     state = trainer.init(jax.random.key(42))
-    if args.pretrained:
+    store = CheckpointStore(os.path.join(args.work, "ckpt", "backbone"))
+    start_epoch = 0
+    if args.resume and store.latest_step() is not None:
+        step = store.latest_step()
+        st_t, aux_t = _backbone_restore_templates(state)
+        restored = store.restore(step, st_t)
+        aux = store.restore_aux(step, aux_t)
+        state = (restored["params"], restored["batch_stats"], aux["opt_state"])
+        start_epoch = step + 1
+        print(f"resumed full train state from epoch {step}")
+    elif args.init_from:
+        src = CheckpointStore(args.init_from)
+        step = src.best_step("val_acc")
+        step = step if step is not None else src.latest_step()
+        st_t, _ = _backbone_restore_templates(state)
+        restored = src.restore(step, st_t)
+        state = (restored["params"], restored["batch_stats"], state[2])
+        print(f"initialized from {args.init_from} step {step} (fresh optimizer)")
+    elif args.pretrained:
         imported = import_mit_state_dict(load_torch_pth(args.pretrained), cfg.depths)
         state = (merge_pretrained(dict(state[0]), imported), state[1], state[2])
-    store = CheckpointStore(os.path.join(args.work, "ckpt", "backbone"))
     logger = MetricsLogger(os.path.join(args.work, "logs", "backbone"))
     early = EarlyStop(args.early_stop_loss) if args.early_stop_loss else None
 
+    idx_dir = _work_paths(args.work)["index"]
+    num_each = {
+        name: np.load(os.path.join(idx_dir, f"{name}_num_each.npy"))
+        for name in ("train", "val", "test")
+    }
     train_ds = datasets["train"]
     n_frames = len(train_ds)
-    for epoch in range(args.epochs):
-        sampler = ClipSampler(1, clip_start_indices(1, [n_frames]))
+    # Materialize a few val batches once for cheap mid-epoch validation.
+    midval = None
+    if args.midval_batches > 0 and len(datasets["val"]):
+        midval = []
+        for b in _eval_batches(datasets["val"], args.batch_size):
+            midval.append(b)
+            if len(midval) >= args.midval_batches:
+                break
+    for epoch in range(start_epoch, args.epochs):
+        sampler = ClipSampler(1, clip_start_indices(1, num_each["train"].tolist()
+                                                    if len(num_each["train"]) else [n_frames]))
         idx = sampler.indices(epoch=epoch, shuffle=True)
         batches = (
             (i, s, f, p.astype(np.int32), a)
             for (i, s, f, p, a) in prefetch_batches(train_ds, idx, args.batch_size)
         )
-        state, tm = trainer.train_epoch(state, batches, jax.random.key(1), epoch, logger=logger)
-        logger.log(epoch, tm, prefix="train/")
-        store.save(epoch, state[0], metrics=tm)
+        state, tm = trainer.train_epoch(
+            state, batches, jax.random.key(1), epoch,
+            val_batches=midval, logger=logger,
+        )
+        vm = trainer.evaluate(state, _eval_batches(datasets["val"], args.batch_size),
+                              num_each=num_each["val"])
+        sm = trainer.evaluate(state, _eval_batches(datasets["test"], args.batch_size),
+                              num_each=num_each["test"])
+        metrics = {
+            **{f"train_{k}" if not k.startswith("train") else k: v for k, v in tm.items()},
+            **{f"val_{k}": v for k, v in vm.items()},
+            **{f"test_{k}": v for k, v in sm.items()},
+        }
+        logger.log(epoch, metrics)
+        store.save(epoch, {"params": state[0], "batch_stats": state[1]},
+                   metrics=metrics, aux={"opt_state": state[2]})
         print(f"epoch {epoch}: loss={tm['train_loss']:.2f} acc={tm['train_acc']:.4f} "
+              f"val_acc={vm.get('acc', float('nan')):.4f} "
+              f"test_acc={sm.get('acc', float('nan')):.4f} "
               f"{tm['frames_per_s']:.0f} frames/s")
         if early is not None and early.update(tm["train_loss"] / max(n_frames, 1)):
             print(f"early stop: train loss below {args.early_stop_loss}")
             break
+    print("best epoch:", store.best_step("val_acc"))
     return 0
 
 
@@ -164,9 +235,18 @@ def cmd_extract_features(args) -> int:
 
     z = jnp.zeros((1, 250, 250, 3))
     variables = model.init(jax.random.key(0), z, z, jnp.zeros((1, 250, 250, 2)))
-    step = store.latest_step()
+    step = args.step if args.step >= 0 else store.best_step("val_acc")
+    step = step if step is not None else store.latest_step()
     if step is not None:
-        variables = {**variables, "params": store.restore(step, variables["params"])}
+        # Restore params AND batch_stats: extraction must run with trained BN
+        # running statistics, matching the reference's model.eval() semantics
+        # (generate_evp_LFB.py:412-437).
+        restored = store.restore(
+            step,
+            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        )
+        variables = {**variables, **restored}
+        print(f"restored backbone checkpoint step {step}")
     fn = make_raw_feature_fn(model, variables)
 
     for name, ds in datasets.items():
@@ -206,9 +286,19 @@ def cmd_train_temporal(args) -> int:
     store = CheckpointStore(_work_paths(args.work)["ckpt_temporal"])
     start_epoch = 0
     if args.resume and store.latest_step() is not None:
-        start_epoch = store.latest_step() + 1
-        params = store.restore(store.latest_step(), params)
-        print(f"resumed from epoch {store.latest_step()}")
+        step = store.latest_step()
+        start_epoch = step + 1
+        params = store.restore(step, params)
+        if store.has_aux(step):
+            # Full continuation: AdamW moments + injected LR come back from
+            # the aux checkpoint, plateau controller from the manifest — a
+            # resumed run IS the original schedule (tecno.py:564-569).
+            opt_state = store.restore_aux(step, {"opt_state": opt_state})["opt_state"]
+            plateau = store.manifest(step).get("extra", {}).get("plateau")
+            if plateau:
+                trainer.plateau.best = plateau.get("best")
+                trainer.plateau.bad_epochs = plateau.get("bad_epochs", 0)
+        print(f"resumed from epoch {step}")
     key = jax.random.key(cfg.seed + 1)
     for epoch in range(start_epoch, args.epochs):
         params, opt_state, tm = trainer.train_epoch(params, opt_state, train_ds, key, epoch)
@@ -218,6 +308,9 @@ def cmd_train_temporal(args) -> int:
         store.save(epoch, params, metrics={
             "val_acc": vm["acc_frame"], "test_acc": sm["acc_frame"],
             "val_inMAE": vm["inMAE"], "lr": lr, **{f"train_{k}": v for k, v in tm.items()},
+        }, aux={"opt_state": opt_state}, extra={
+            "plateau": {"best": trainer.plateau.best,
+                        "bad_epochs": trainer.plateau.bad_epochs},
         })
         print(f"epoch {epoch}: train_loss={tm['train_loss']:.4f} "
               f"val_acc={vm['acc_frame']:.4f} test_acc={sm['acc_frame']:.4f} "
@@ -345,7 +438,14 @@ def cmd_precompute_flow(args) -> int:
         b = jnp.asarray(f2 / 127.5 - 1.0, jnp.float32)
         if params is None:
             params = model.init(jax.random.key(0), a, b)
-            if args.checkpoint:
+            if args.torch_checkpoint:
+                from surgical_tpu.models.convert import (
+                    import_raft_state_dict, load_torch_pth,
+                )
+
+                params = {"params": import_raft_state_dict(
+                    load_torch_pth(args.torch_checkpoint))}
+            elif args.checkpoint:
                 from surgical_tpu.core.checkpoint import CheckpointStore
 
                 store = CheckpointStore(args.checkpoint)
@@ -455,12 +555,22 @@ def main(argv=None) -> int:
     sp.add_argument("--early-stop-loss", type=float, default=None,
                     help="finetune mode: stop below this per-frame train loss")
     sp.add_argument("--no-flow", action="store_true")
+    sp.add_argument("--resume", action="store_true",
+                    help="continue from the latest checkpoint (full state)")
+    sp.add_argument("--init-from", default=None,
+                    help="checkpoint store dir to initialize params+BN stats "
+                         "from (stage-1 -> stage-2 finetune handoff)")
+    sp.add_argument("--midval-batches", type=int, default=2,
+                    help="val batches for mid-epoch validation (0 disables)")
     sp.set_defaults(fn=cmd_train_backbone)
 
     sp = sub.add_parser("extract-features")
     sp.add_argument("--work", required=True)
     sp.add_argument("--variant", default="b3")
     sp.add_argument("--batch-size", type=int, default=200)
+    sp.add_argument("--step", type=int, default=-1,
+                    help="backbone checkpoint step (-1 = best by val_acc, "
+                         "else latest)")
     sp.add_argument("--no-flow", action="store_true")
     sp.add_argument("--reference-pickles", action="store_true")
     sp.set_defaults(fn=cmd_extract_features)
@@ -498,6 +608,8 @@ def main(argv=None) -> int:
     sp.add_argument("--root", required=True, help="dataset root with cutMargin/")
     sp.add_argument("--iters", type=int, default=20)
     sp.add_argument("--checkpoint", default=None, help="RAFT checkpoint store dir")
+    sp.add_argument("--torch-checkpoint", default=None,
+                    help="upstream raft-things.pth to import (RAFT.py:36)")
     sp.set_defaults(fn=cmd_precompute_flow)
 
     sp = sub.add_parser("selfcheck")

@@ -171,6 +171,69 @@ def import_mit_state_dict(
     return params
 
 
+# -- RAFT (upstream princeton-vl raft-things.pth layout) -----------------------
+
+def _frozen_bn(sd, key):
+    """Eval-mode BatchNorm2d -> FrozenBatchNorm params (models/raft.py)."""
+    return {
+        "scale": np.asarray(sd[f"{key}.weight"]),
+        "bias": np.asarray(sd[f"{key}.bias"]),
+        "mean": np.asarray(sd[f"{key}.running_mean"]),
+        "var": np.asarray(sd[f"{key}.running_var"]),
+    }
+
+
+def _raft_encoder(sd: Mapping[str, np.ndarray], enc: str, norm: str) -> dict:
+    """BasicEncoder (conv1 + three 2-block residual layers + conv2).
+
+    fnet uses non-affine instance norm (no keys in the torch dict); cnet
+    uses BatchNorm2d whose running stats become FrozenBatchNorm params.
+    """
+    p = {"conv1": _conv(sd, f"{enc}.conv1"), "conv2": _conv(sd, f"{enc}.conv2")}
+    if norm == "batch":
+        p["norm1"] = _frozen_bn(sd, f"{enc}.norm1")
+    for L in (1, 2, 3):
+        for b in (0, 1):
+            pre = f"{enc}.layer{L}.{b}"
+            unit = {
+                "conv1": _conv(sd, f"{pre}.conv1"),
+                "conv2": _conv(sd, f"{pre}.conv2"),
+            }
+            if norm == "batch":
+                unit["norm1"] = _frozen_bn(sd, f"{pre}.norm1")
+                unit["norm2"] = _frozen_bn(sd, f"{pre}.norm2")
+            if f"{pre}.downsample.0.weight" in sd:
+                unit["downsample"] = _conv(sd, f"{pre}.downsample.0")
+                if norm == "batch":
+                    unit["norm3"] = _frozen_bn(sd, f"{pre}.downsample.1")
+            p[f"layer{L}_{b}"] = unit
+    return p
+
+
+def import_raft_state_dict(sd: Mapping[str, np.ndarray]) -> dict:
+    """raft-things.pth (DataParallel prefix already stripped by
+    load_torch_pth) -> models.raft.RAFT params (RAFT.py:36,129-135)."""
+    gru = {}
+    for g in "zrq":
+        for suffix, i in (("h", 1), ("v", 2)):
+            gru[f"conv{g}_{suffix}"] = _conv(sd, f"update_block.gru.conv{g}{i}")
+    return {
+        "fnet": _raft_encoder(sd, "fnet", "instance"),
+        "cnet": _raft_encoder(sd, "cnet", "batch"),
+        "update_block": {
+            "encoder": {
+                k: _conv(sd, f"update_block.encoder.{k}")
+                for k in ("convc1", "convc2", "convf1", "convf2", "conv")
+            },
+            "gru": gru,
+            "flow_head1": _conv(sd, "update_block.flow_head.conv1"),
+            "flow_head2": _conv(sd, "update_block.flow_head.conv2"),
+            "mask1": _conv(sd, "update_block.mask.0"),
+            "mask2": _conv(sd, "update_block.mask.2"),
+        },
+    }
+
+
 def merge_pretrained(init_params: dict, imported: dict) -> dict:
     """Overlay imported subtrees onto freshly initialized params
     (the strict=False partial-load semantics)."""

@@ -1,27 +1,31 @@
-"""RAFT optical flow in JAX/flax.
+"""RAFT optical flow in JAX/flax, weight-compatible with raft-things.pth.
 
 The reference precomputes flow with the upstream CUDA/PyTorch RAFT
 (``core/raft`` + ``raft-things.pth``, both MISSING from the snapshot —
 RAFT.py:7,19-21,36; SURVEY §2.9), running 20 GRU iterations per frame pair
 (RAFT.py:85) at FRAME_INTERVAL=25 (1-fps pairs). This is a from-scratch
-TPU-native RAFT (Teed & Deng, ECCV'20 architecture):
+TPU-native RAFT (Teed & Deng, ECCV'20 architecture) whose module/parameter
+layout matches the upstream checkpoint so trained weights import directly
+(models/convert.py::import_raft_state_dict):
 
-- feature encoder: residual CNN -> 256-d at 1/8 resolution (both frames)
-- context encoder: same trunk on frame 1 -> 128 tanh "net" + 128 relu "inp"
+- feature encoder (``fnet``): 2-blocks-per-layer residual CNN -> 256-d at
+  1/8 resolution, non-affine instance norm (both frames, shared weights)
+- context encoder (``cnet``): same trunk with (frozen, eval-mode) batch
+  norm -> 128 tanh "net" + 128 relu "inp"
 - all-pairs correlation volume as ONE [N, N] matmul on the MXU, then a
   4-level average-pooled pyramid
 - per-iteration lookup of a (2r+1)^2 window around the current flow in every
-  pyramid level (bilinear gather)
-- separable ConvGRU update + flow head + convex 8x upsampling mask
-- the iteration loop is a ``lax.scan`` (static trip count, compiled once)
+  pyramid level (bilinear gather); window channels enumerate x-offset-major,
+  matching upstream's ``meshgrid(dy, dx)`` quirk so conv weights line up
+- separable (1x5 then 5x1) ConvGRU update + flow head + convex 8x
+  upsampling (mask channels are 9-outer: ``view(N, 1, 9, 8, 8, H, W)``)
 
-Instance norm (upstream's default) is implemented as per-sample spatial
-normalization.
+RAFT here is inference-only (flow precompute), so batch norm is a frozen
+affine transform with imported running statistics — there is no training
+path to keep stats for.
 """
 
 from __future__ import annotations
-
-from typing import Tuple
 
 import flax.linen as nn
 import jax
@@ -30,6 +34,8 @@ import numpy as np
 
 
 class InstanceNorm(nn.Module):
+    """Non-affine instance norm (upstream InstanceNorm2d default)."""
+
     features: int
 
     @nn.compact
@@ -37,40 +43,70 @@ class InstanceNorm(nn.Module):
         # x: [B, H, W, C]; normalize over H, W per sample/channel
         mean = jnp.mean(x, axis=(1, 2), keepdims=True)
         var = jnp.var(x, axis=(1, 2), keepdims=True)
-        scale = self.param("scale", nn.initializers.ones, (self.features,))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        return (x - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+        return (x - mean) * jax.lax.rsqrt(var + 1e-5)
 
 
-class ResidualUnit(nn.Module):
+class FrozenBatchNorm(nn.Module):
+    """Eval-mode BatchNorm2d: a fixed affine transform from imported running
+    statistics. Initializes to identity (mean 0, var 1, scale 1, bias 0)."""
+
     features: int
-    stride: int = 1
+    eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride), padding=1)(x)
-        y = nn.relu(InstanceNorm(self.features)(y))
-        y = nn.Conv(self.features, (3, 3), padding=1)(y)
-        y = nn.relu(InstanceNorm(self.features)(y))
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("mean", nn.initializers.zeros, (self.features,))
+        var = self.param("var", nn.initializers.ones, (self.features,))
+        return (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+
+
+def _norm(kind: str, features: int, name: str):
+    if kind == "instance":
+        return InstanceNorm(features, name=name)
+    return FrozenBatchNorm(features, name=name)
+
+
+class ResidualUnit(nn.Module):
+    """Upstream ResidualBlock: two conv+norm+relu, optional 1x1 downsample."""
+
+    features: int
+    stride: int = 1
+    norm: str = "instance"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                    padding=1, name="conv1")(x)
+        y = nn.relu(_norm(self.norm, self.features, "norm1")(y))
+        y = nn.Conv(self.features, (3, 3), padding=1, name="conv2")(y)
+        y = nn.relu(_norm(self.norm, self.features, "norm2")(y))
         if self.stride != 1 or x.shape[-1] != self.features:
-            x = nn.Conv(self.features, (1, 1), strides=(self.stride, self.stride))(x)
-            x = InstanceNorm(self.features)(x)
+            x = nn.Conv(self.features, (1, 1),
+                        strides=(self.stride, self.stride), name="downsample")(x)
+            x = _norm(self.norm, self.features, "norm3")(x)
         return nn.relu(x + y)
 
 
 class Encoder(nn.Module):
-    """1/8-resolution CNN trunk (feature or context encoder)."""
+    """1/8-resolution trunk (upstream BasicEncoder): conv7x7/2, three
+    2-block residual layers (64, 96/2, 128/2), 1x1 projection."""
 
     out_dim: int
+    norm: str = "instance"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3)(x)
-        x = nn.relu(InstanceNorm(64)(x))
-        x = ResidualUnit(64)(x)
-        x = ResidualUnit(96, stride=2)(x)
-        x = ResidualUnit(128, stride=2)(x)
-        return nn.Conv(self.out_dim, (1, 1))(x)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, name="conv1")(x)
+        x = nn.relu(_norm(self.norm, 64, "norm1")(x))
+        x = ResidualUnit(64, 1, self.norm, name="layer1_0")(x)
+        x = ResidualUnit(64, 1, self.norm, name="layer1_1")(x)
+        x = ResidualUnit(96, 2, self.norm, name="layer2_0")(x)
+        x = ResidualUnit(96, 1, self.norm, name="layer2_1")(x)
+        x = ResidualUnit(128, 2, self.norm, name="layer3_0")(x)
+        x = ResidualUnit(128, 1, self.norm, name="layer3_1")(x)
+        return nn.Conv(self.out_dim, (1, 1), name="conv2")(x)
 
 
 def all_pairs_correlation(f1: jax.Array, f2: jax.Array) -> jax.Array:
@@ -126,6 +162,11 @@ def lookup_pyramid(pyr: list[jax.Array], flow: jax.Array, radius: int = 4) -> ja
     """Sample a (2r+1)^2 window around (grid + flow) in every level.
 
     flow: [H, W, 2] at 1/8 res. Returns [H, W, levels*(2r+1)^2].
+
+    Window channel k = i*(2r+1)+j samples offset (dx=vals[i], dy=vals[j]):
+    upstream builds ``delta = stack(meshgrid(dy, dx), -1)`` and adds it to
+    (x, y) centroids, which enumerates the x offset along the OUTER axis —
+    weight import requires the same enumeration.
     """
     H, W = flow.shape[:2]
     yy, xx = jnp.meshgrid(
@@ -133,14 +174,10 @@ def lookup_pyramid(pyr: list[jax.Array], flow: jax.Array, radius: int = 4) -> ja
     )
     centers = jnp.stack([xx + flow[..., 0], yy + flow[..., 1]], axis=-1)  # [H,W,2]
     r = radius
+    vals = jnp.arange(-r, r + 1, dtype=jnp.float32)
     d = jnp.stack(
-        jnp.meshgrid(
-            jnp.arange(-r, r + 1, dtype=jnp.float32),
-            jnp.arange(-r, r + 1, dtype=jnp.float32),
-            indexing="ij",
-        ),
-        axis=-1,
-    ).reshape(-1, 2)[:, ::-1]  # [(2r+1)^2, 2] as (dx, dy)
+        jnp.meshgrid(vals, vals, indexing="ij"), axis=-1
+    ).reshape(-1, 2)  # [(2r+1)^2, 2] = (dx outer, dy inner)
 
     out = []
     K = d.shape[0]
@@ -227,16 +264,20 @@ class UpdateBlock(nn.Module):
 
 
 def convex_upsample(flow: jax.Array, mask: jax.Array) -> jax.Array:
-    """8x convex-combination upsampling. flow: [H, W, 2]; mask: [H, W, 576]."""
+    """8x convex-combination upsampling. flow: [H, W, 2]; mask: [H, W, 576].
+
+    Mask channel layout is 9-OUTER (upstream ``view(N, 1, 9, 8, 8, H, W)``):
+    channel c = k*64 + u*8 + v selects neighborhood tap k for subpixel (u, v).
+    """
     H, W, _ = flow.shape
-    mask = mask.reshape(H, W, 8, 8, 9)
-    mask = jax.nn.softmax(mask, axis=-1)
-    # 3x3 neighborhoods of the (8x-scaled) coarse flow
+    mask = mask.reshape(H, W, 9, 8, 8)
+    mask = jax.nn.softmax(mask, axis=2)
+    # 3x3 neighborhoods of the (8x-scaled) coarse flow, row-major like unfold
     fp = jnp.pad(flow * 8.0, ((1, 1), (1, 1), (0, 0)))
     neigh = jnp.stack(
         [fp[dy : dy + H, dx : dx + W] for dy in range(3) for dx in range(3)], axis=-2
     )  # [H, W, 9, 2]
-    up = jnp.einsum("hwuvk,hwkc->hwuvc", mask, neigh)  # [H, W, 8, 8, 2]
+    up = jnp.einsum("hwkuv,hwkc->hwuvc", mask, neigh)  # [H, W, 8, 8, 2]
     return up.transpose(0, 2, 1, 3, 4).reshape(H * 8, W * 8, 2)
 
 
@@ -250,10 +291,10 @@ class RAFT(nn.Module):
 
     @nn.compact
     def __call__(self, image1: jax.Array, image2: jax.Array) -> jax.Array:
-        fnet = Encoder(256, name="fnet")
+        fnet = Encoder(256, norm="instance", name="fnet")
         f1 = fnet(image1[None])[0]
         f2 = fnet(image2[None])[0]
-        ctx = Encoder(self.hidden * 2, name="cnet")(image1[None])[0]
+        ctx = Encoder(self.hidden * 2, norm="batch", name="cnet")(image1[None])[0]
         net = jnp.tanh(ctx[..., : self.hidden])
         inp = nn.relu(ctx[..., self.hidden :])
 

@@ -216,8 +216,15 @@ class BackboneTrainer:
         }
         return (params, batch_stats, opt_state), metrics
 
-    def evaluate(self, state, batches, horizon: float | None = None):
-        from surgical_tpu.eval.metrics import MAETriad, frame_accuracy
+    def evaluate(self, state, batches, horizon: float | None = None,
+                 num_each=None):
+        """Frame accuracy + MAE triad + macro precision/recall/jaccard, and
+        (when per-video frame counts are given) mean per-video accuracy —
+        the full metric set of the reference's epoch eval
+        (train_evp.py:605-907)."""
+        from surgical_tpu.eval.metrics import (
+            MAETriad, frame_accuracy, precision_recall_jaccard,
+        )
 
         params, batch_stats = state[0], state[1]
         triad = MAETriad(horizon=horizon or self.cfg.horizon)
@@ -229,7 +236,22 @@ class BackboneTrainer:
             triad.update(np.asarray(y_ant), np.asarray(ant))
         flat_p = np.concatenate(preds) if preds else np.zeros(0, int)
         flat_l = np.concatenate(labs) if labs else np.zeros(0, int)
-        return {"acc": frame_accuracy(flat_l, flat_p), **triad.result()}
+        metrics = {"acc": frame_accuracy(flat_l, flat_p), **triad.result()}
+        if flat_l.size:
+            prj = precision_recall_jaccard(flat_l, flat_p)
+            metrics.update({k: v for k, v in prj.items() if np.isscalar(v)})
+        if num_each is not None and flat_l.size:
+            per_video = []
+            off = 0
+            for n in np.asarray(num_each, dtype=int):
+                if off + n > flat_l.size:
+                    break
+                per_video.append(frame_accuracy(flat_l[off:off + n],
+                                                flat_p[off:off + n]))
+                off += n
+            if per_video:
+                metrics["acc_video"] = float(np.mean(per_video))
+        return metrics
 
 
 def make_backbone_eval_step(model) -> Callable:
