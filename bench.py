@@ -92,11 +92,11 @@ def bench_lfb_extraction(batch_size: int = 128, iters: int = 16):
     # -- device-staged pipeline (prefetched inputs; D2H of features kept but
     # overlapped one batch behind compute, as extract_features does).
     # The shared/tunneled chip shows +-50% run-to-run noise: measure several
-    # rounds and report the best (closest to the machine's capability).
+    # rounds, report best (closest to machine capability) AND median+spread.
     dev = tuple(jax.device_put(h) for h in host)
     _ = np.asarray(feature_fn(variables, *dev))
-    best = 0.0
-    for _round in range(3):
+    rates = []
+    for _round in range(5):
         t0 = time.perf_counter()
         pending = None
         for _ in range(iters):
@@ -105,8 +105,41 @@ def bench_lfb_extraction(batch_size: int = 128, iters: int = 16):
                 _ = np.asarray(pending)  # [B, 2048] copy-out of previous batch
             pending = feats
         _ = np.asarray(pending)
-        best = max(best, B * iters / (time.perf_counter() - t0))
-    return best, e2e_fps
+        rates.append(B * iters / (time.perf_counter() - t0))
+    return max(rates), e2e_fps, rates
+
+
+def bench_native_decode(n_frames: int = 256, size: int = 250):
+    """Host-side native loader (libjpeg decode + antialiased resize,
+    native/loader.cpp) throughput on synthetic jpgs — the input-pipeline leg
+    of extraction. On a real TPU host the end-to-end rate is
+    ~min(decode_fps x host_cores_scaling, chip_fps); here the tunnel (not
+    PCIe) sits between them, so the legs are reported separately."""
+    import tempfile
+
+    from PIL import Image
+
+    from surgical_tpu.native import available, decode_resize_batch
+
+    if not available():
+        return None
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory() as td:
+        paths = []
+        for i in range(64):
+            p = os.path.join(td, f"{i}.jpg")
+            Image.fromarray(
+                rng.integers(0, 255, (480, 854, 3), dtype=np.uint8)
+            ).save(p, quality=90)
+            paths.append(p)
+        reps = -(-n_frames // len(paths))
+        all_paths = (paths * reps)[:n_frames]
+        _ = decode_resize_batch(all_paths[:8], size, 3)  # warm the pool
+        t0 = time.perf_counter()
+        out, failures = decode_resize_batch(all_paths, size, 3)
+        dt = time.perf_counter() - t0
+        assert out.shape == (n_frames, size, size, 3) and failures == 0
+        return n_frames / dt
 
 
 def bench_temporal_inference(T: int = 2048, iters: int = 20):
@@ -159,21 +192,25 @@ def bench_mamba_inference(T: int = 2048, iters: int = 20):
 
 
 def main():
-    fps, e2e_fps = bench_lfb_extraction()
+    fps, e2e_fps, rates = bench_lfb_extraction()
     video_s = bench_temporal_inference()
     mamba_s = bench_mamba_inference()
+    decode_fps = bench_native_decode()
     result = {
         "metric": "lfb_extraction_throughput",
         "value": round(fps, 1),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / BASELINE_LFB_FPS, 3),
         "extra": {
+            "median_fps": round(float(np.median(rates)), 1),
+            "fps_rounds": [round(r, 1) for r in rates],
             "tunnel_limited_e2e_fps": round(e2e_fps, 1),
+            "native_decode_fps_host": None if decode_fps is None else round(decode_fps, 1),
             "temporal_inference_s_per_video": round(video_s, 4),
             "temporal_vs_baseline": round(BASELINE_VIDEO_LATENCY_S / video_s, 3),
             "mamba_inference_s_per_video": round(mamba_s, 4),
             "device": str(jax.devices()[0]),
-            "note": "inputs staged in HBM (prefetch pipeline); env tunnel ~0.05-2 GB/s is not representative of a TPU host",
+            "note": "inputs staged in HBM (prefetch pipeline); env tunnel ~0.05-2 GB/s is not representative of a TPU host; real-host e2e ~ min(native_decode_fps x cores, chip fps)",
         },
     }
     print(json.dumps(result))

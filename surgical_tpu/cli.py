@@ -38,7 +38,8 @@ def _work_paths(work: str) -> dict:
 def cmd_prepare_data(args) -> int:
     from surgical_tpu.data.cholec80 import index_dataset, make_splits, to_reference_pickle
 
-    videos = index_dataset(args.root, num_videos=args.num_videos, horizon=args.horizon)
+    videos = index_dataset(args.root, num_videos=args.num_videos,
+                           horizon=args.horizon, dataset=args.dataset)
     train, val, test = make_splits(videos, scheme=args.scheme)
     out = _work_paths(args.out)["index"]
     os.makedirs(out, exist_ok=True)
@@ -62,10 +63,13 @@ def _load_split(work: str, name: str):
     num_each = np.load(os.path.join(idx, f"{name}_num_each.npy"))
     store = FeatureStore.open(os.path.join(_work_paths(work)["lfb"], name))
     starts = np.concatenate([[0], np.cumsum(num_each)[:-1]])
+    # Cholec80 rows: [phase, 7 tools, 7 ant] (ant at 8:15, tecno.py:207-208);
+    # M2CAI16 rows: [phase, 8 ant] (ant at 1:9, M2caiSegmapDataset)
+    ant = labels[:, 8:15] if labels.shape[1] == 15 else labels[:, 1:]
     return VideoDataset(
         features=store,
         labels_phase=labels[:, 0].astype(np.int32),
-        labels_ant=labels[:, 8:15].astype(np.float32),
+        labels_ant=ant.astype(np.float32),
         lengths=np.asarray(num_each),
         starts=starts,
     )
@@ -96,9 +100,12 @@ def _backbone_and_data(args, split_scheme: str):
         with open(os.path.join(idx, f"{name}_paths.json")) as f:
             paths = _json.load(f)
         labels = np.load(os.path.join(idx, f"{name}_labels.npy"))
-        datasets[name] = ClipDataset(paths, labels, with_flow=not args.no_flow)
+        ant_cols = (8, 15) if labels.shape[1] == 15 else (1, labels.shape[1])
+        datasets[name] = ClipDataset(paths, labels, with_flow=not args.no_flow,
+                                     ant_cols=ant_cols)
     cfg = BackboneConfig.preset(args.variant, with_flow=not args.no_flow)
-    model = MiTEVP(cfg, HeadConfig(), compute_dtype=jnp.bfloat16)
+    head = HeadConfig(embedding_dim=32, hidden=16) if args.variant == "tiny" else HeadConfig()
+    model = MiTEVP(cfg, head, compute_dtype=jnp.bfloat16)
     return model, cfg, datasets
 
 
@@ -142,7 +149,10 @@ def cmd_train_backbone(args) -> int:
     model, cfg, datasets = _backbone_and_data(args, args.scheme)
     trainer = BackboneTrainer(
         model,
-        TrainConfig(optim=OptimConfig(name=args.optimizer, lr=args.lr, weight_decay=0.0)),
+        # no grad clipping in the reference backbone stage (train_evp.py
+        # uses plain SGD/Adam + GradScaler, no clip_grad_norm)
+        TrainConfig(optim=OptimConfig(name=args.optimizer, lr=args.lr,
+                                      weight_decay=0.0, grad_clip_norm=None)),
     )
     state = trainer.init(jax.random.key(42))
     store = CheckpointStore(os.path.join(args.work, "ckpt", "backbone"))
@@ -163,6 +173,13 @@ def cmd_train_backbone(args) -> int:
         restored = src.restore(step, st_t)
         state = (restored["params"], restored["batch_stats"], state[2])
         print(f"initialized from {args.init_from} step {step} (fresh optimizer)")
+    elif args.pretrained_evp:
+        from surgical_tpu.models.convert import import_evp_state_dict
+
+        p, bs = import_evp_state_dict(load_torch_pth(args.pretrained_evp), cfg.depths)
+        state = (merge_pretrained(dict(state[0]), p),
+                 merge_pretrained(dict(state[1]), bs), state[2])
+        print(f"imported full EVP stage-2 weights from {args.pretrained_evp}")
     elif args.pretrained:
         imported = import_mit_state_dict(load_torch_pth(args.pretrained), cfg.depths)
         state = (merge_pretrained(dict(state[0]), imported), state[1], state[2])
@@ -235,8 +252,23 @@ def cmd_extract_features(args) -> int:
 
     z = jnp.zeros((1, 250, 250, 3))
     variables = model.init(jax.random.key(0), z, z, jnp.zeros((1, 250, 250, 2)))
-    step = args.step if args.step >= 0 else store.best_step("val_acc")
-    step = step if step is not None else store.latest_step()
+    if args.pretrained_evp:
+        # reference handoff: generate_evp_LFB.py loads the finetuned stage-2
+        # .pth directly (generate_evp_LFB.py:412-437)
+        from surgical_tpu.models.convert import (
+            import_evp_state_dict, load_torch_pth, merge_pretrained,
+        )
+
+        p, bs = import_evp_state_dict(load_torch_pth(args.pretrained_evp), cfg.depths)
+        variables = {
+            "params": merge_pretrained(dict(variables["params"]), p),
+            "batch_stats": merge_pretrained(dict(variables["batch_stats"]), bs),
+        }
+        print(f"imported full EVP stage-2 weights from {args.pretrained_evp}")
+        step = None
+    else:
+        step = args.step if args.step >= 0 else store.best_step("val_acc")
+        step = step if step is not None else store.latest_step()
     if step is not None:
         # Restore params AND batch_stats: extraction must run with trained BN
         # running statistics, matching the reference's model.eval() semantics
@@ -256,7 +288,7 @@ def cmd_extract_features(args) -> int:
             for (i, s, f, _p, _a) in prefetch_batches(ds, np.arange(len(ds)), args.batch_size)
         )
         fstore, stats = extract_to_store(
-            fn, batches, num_each.tolist(), feature_dim=2048,
+            fn, batches, num_each.tolist(), feature_dim=model.head_cfg.embedding_dim,
             batch_size=args.batch_size,
             directory=os.path.join(_work_paths(args.work)["lfb"], name),
             meta={"split": name},
@@ -474,9 +506,93 @@ def cmd_precompute_flow(args) -> int:
     return 0
 
 
+def _write_synthetic_corpus(root: str, num_videos: int = 4, frames: int = 8) -> None:
+    """Synthetic Cholec80-layout corpus on disk: cutMargin jpgs, segmap jpgs
+    (path-substitution layout), phase annotation txts. Phase blocks are
+    painted into the images so a tiny backbone can actually learn them."""
+    from PIL import Image
+
+    from surgical_tpu.core.config import PHASE_NAMES
+
+    rng = np.random.default_rng(0)
+    os.makedirs(os.path.join(root, "phase_annotations"), exist_ok=True)
+    for v in range(1, num_videos + 1):
+        img_dir = os.path.join(root, "cutMargin", str(v))
+        seg_dir = os.path.join(root, "ss_Bimasks_pos_ep10", str(v))
+        os.makedirs(img_dir, exist_ok=True)
+        os.makedirs(seg_dir, exist_ok=True)
+        phases_25 = np.repeat(np.arange(7), -(-frames * 25 // 7))[: frames * 25]
+        with open(os.path.join(root, "phase_annotations", f"video{v:02d}-phase.txt"), "w") as f:
+            f.write("Frame\tPhase\n")
+            for i, p in enumerate(phases_25):
+                f.write(f"{i}\t{PHASE_NAMES[p]}\n")
+        for n in range(0, frames * 25, 25):
+            p = int(phases_25[n])
+            img = rng.integers(0, 80, (64, 64, 3), dtype=np.uint8)
+            img[:, : 8 * (p + 1)] = 200  # phase-coded bright band
+            Image.fromarray(img).save(os.path.join(img_dir, f"{n}.jpg"))
+            seg = np.zeros((64, 64, 3), np.uint8)
+            seg[: 8 * (p + 1)] = 255
+            Image.fromarray(seg).save(os.path.join(seg_dir, f"{n}.jpg"))
+
+
+def cmd_selfcheck_full(args) -> int:
+    """Whole-pipeline drive over SYNTHETIC IMAGES through the real CLI
+    stages: prepare-data -> train-backbone -> extract-features ->
+    train-temporal -> train-refiner -> predict -> evaluate. Proves every
+    stage handoff composes (the reference's six-script pipeline,
+    README.md:21-36) with no real data."""
+    import tempfile
+
+    from surgical_tpu.eval.predictions import write_phase_txt, video_txt_name
+
+    with tempfile.TemporaryDirectory() as td:
+        root = os.path.join(td, "cholec80")
+        work = os.path.join(td, "work")
+        _write_synthetic_corpus(root, num_videos=4, frames=8)
+        rc = main(["prepare-data", "--root", root, "--out", work,
+                   "--num-videos", "4", "--scheme", "smoke"])
+        assert rc == 0
+        rc = main(["train-backbone", "--work", work, "--variant", "tiny",
+                   "--epochs", "2", "--batch-size", "8", "--lr", "0.01",
+                   "--no-flow", "--midval-batches", "1"])
+        assert rc == 0
+        rc = main(["extract-features", "--work", work, "--variant", "tiny",
+                   "--batch-size", "8", "--no-flow"])
+        assert rc == 0
+        rc = main(["train-temporal", "--work", work, "--epochs", "3"])
+        assert rc == 0
+        rc = main(["train-refiner", "--work", work, "--epochs", "2"])
+        assert rc == 0
+        rc = main(["predict", "--work", work, "--split", "test"])
+        assert rc == 0
+
+        # ground-truth txts from the index -> relaxed evaluation
+        idx = _work_paths(work)["index"]
+        labels = np.load(os.path.join(idx, "test_labels.npy"))
+        num_each = np.load(os.path.join(idx, "test_num_each.npy"))
+        gt_dir = os.path.join(td, "gt-phase")
+        os.makedirs(gt_dir, exist_ok=True)
+        off = 0
+        for k, n in enumerate(num_each):
+            write_phase_txt(
+                os.path.join(gt_dir, video_txt_name(41 + k)),
+                labels[off : off + n, 0].astype(int),
+            )
+            off += n
+        rc = main(["evaluate", "--gt", gt_dir,
+                   "--pred", os.path.join(_work_paths(work)["output"], "Test"),
+                   "--first", "41", "--last", str(40 + len(num_each))])
+        assert rc == 0
+        print("SELFCHECK-FULL OK: all 7 stages composed")
+        return 0
+
+
 def cmd_selfcheck(args) -> int:
     """Synthetic end-to-end smoke: index -> features -> temporal -> refiner ->
     predict -> relaxed eval, no real data needed."""
+    if getattr(args, "full", False):
+        return cmd_selfcheck_full(args)
     import tempfile
 
     import jax
@@ -539,7 +655,10 @@ def main(argv=None) -> int:
     sp.add_argument("--out", required=True)
     sp.add_argument("--num-videos", type=int, default=80)
     sp.add_argument("--horizon", type=float, default=5.0)
-    sp.add_argument("--scheme", choices=["stage1", "stage2"], default="stage2")
+    sp.add_argument("--dataset", choices=["cholec80", "m2cai16"], default="cholec80")
+    sp.add_argument("--scheme",
+                    choices=["stage1", "stage2", "m2cai", "m2cai_all", "smoke"],
+                    default="stage2")
     sp.add_argument("--reference-pickle", default=None)
     sp.set_defaults(fn=cmd_prepare_data)
 
@@ -552,6 +671,9 @@ def main(argv=None) -> int:
     sp.add_argument("--lr", type=float, default=1e-3)
     sp.add_argument("--optimizer", default="sgd")
     sp.add_argument("--pretrained", default=None, help="torch mit_b*.pth trunk")
+    sp.add_argument("--pretrained-evp", default=None,
+                    help="reference stage-2 .pth (full EVP model incl. "
+                         "prompt/flow/head keys)")
     sp.add_argument("--early-stop-loss", type=float, default=None,
                     help="finetune mode: stop below this per-frame train loss")
     sp.add_argument("--no-flow", action="store_true")
@@ -571,6 +693,9 @@ def main(argv=None) -> int:
     sp.add_argument("--step", type=int, default=-1,
                     help="backbone checkpoint step (-1 = best by val_acc, "
                          "else latest)")
+    sp.add_argument("--pretrained-evp", default=None,
+                    help="reference stage-2 .pth to extract with "
+                         "(generate_evp_LFB.py handoff)")
     sp.add_argument("--no-flow", action="store_true")
     sp.add_argument("--reference-pickles", action="store_true")
     sp.set_defaults(fn=cmd_extract_features)
@@ -613,6 +738,9 @@ def main(argv=None) -> int:
     sp.set_defaults(fn=cmd_precompute_flow)
 
     sp = sub.add_parser("selfcheck")
+    sp.add_argument("--full", action="store_true",
+                    help="drive ALL pipeline stages (incl. image stages) on a "
+                         "synthetic on-disk corpus")
     sp.set_defaults(fn=cmd_selfcheck)
 
     args = p.parse_args(argv)

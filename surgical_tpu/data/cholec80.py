@@ -102,38 +102,59 @@ def index_video(
     phase_file: str,
     tool_file: str | None,
     horizon: float = 5.0,
+    phase_to_id: dict | None = None,
+    with_tools: bool = True,
 ) -> VideoIndex:
     """Build the 1-fps record array for one video. Anticipation GT is computed
     on the FULL 25-fps timeline then subsampled, matching the reference's
     pipeline (generate_phase_anticipation.py writes full-rate files that
-    get_path_labels.py:151-165 subsamples)."""
-    phases_25fps = parse_phase_file(phase_file)
-    ant_25fps = anticipation_gt(phases_to_one_hot(phases_25fps), horizon=horizon)
+    get_path_labels.py:151-165 subsamples).
+
+    with_tools=False (M2CAI16) drops the 7 tool columns entirely, giving the
+    reference's [phase, P x ant] row layout (get_path_labels.py M2CAI branch;
+    M2caiSegmapDataset indexes ant at cols 1:9)."""
+    phase_to_id = phase_to_id or PHASE_TO_ID
+    num_phases = len(phase_to_id)
+    phases_25fps = parse_phase_file(phase_file, phase_to_id)
+    ant_25fps = anticipation_gt(
+        phases_to_one_hot(phases_25fps, num_phases), horizon=horizon
+    )
 
     sub = np.arange(0, len(phases_25fps), DOWNSAMPLE)
     phases = phases_25fps[sub]
     ant = ant_25fps[sub]
 
-    if tool_file is not None:
-        tools = parse_tool_file(tool_file)
-        # tool rows are already one per 25-frame step; pad/trim to match
-        K = len(sub)
-        if len(tools) < K:
-            tools = np.concatenate([tools, np.repeat(tools[-1:], K - len(tools), 0)])
-        tools = tools[:K]
-    else:
-        tools = np.zeros((len(sub), 7), dtype=np.int64)
+    cols = [phases[:, None].astype(np.float64)]
+    if with_tools:
+        if tool_file is not None:
+            tools = parse_tool_file(tool_file)
+            # tool rows are already one per 25-frame step; pad/trim to match
+            K = len(sub)
+            if len(tools) < K:
+                tools = np.concatenate([tools, np.repeat(tools[-1:], K - len(tools), 0)])
+            tools = tools[:K]
+        else:
+            tools = np.zeros((len(sub), 7), dtype=np.int64)
+        cols.append(tools.astype(np.float64))
+    cols.append(ant)
 
-    labels = np.concatenate(
-        [phases[:, None].astype(np.float64), tools.astype(np.float64), ant], axis=1
-    )
+    labels = np.concatenate(cols, axis=1)
     img_paths = [os.path.join(img_dir, f"{f}.jpg") for f in sub]
     return VideoIndex(video_id, img_paths, labels)
 
 
-def index_dataset(root: str, num_videos: int = 80, horizon: float = 5.0) -> list[VideoIndex]:
+def index_dataset(
+    root: str, num_videos: int = 80, horizon: float = 5.0,
+    dataset: str = "cholec80",
+) -> list[VideoIndex]:
     """root layout (reference README): cutMargin/<1..80>/<frame>.jpg,
-    phase_annotations/video<NN>-phase.txt, tool_annotations/video<NN>-tool.txt."""
+    phase_annotations/video<NN>-phase.txt, tool_annotations/video<NN>-tool.txt.
+
+    dataset="m2cai16": 8-phase vocabulary, no tool annotations, labels
+    [T, 9] = [phase, 8 x anticipation] (get_path_labels.py:77-88,250-317).
+    """
+    m2cai = dataset == "m2cai16"
+    phase_to_id = M2CAI_PHASE_TO_ID if m2cai else PHASE_TO_ID
     videos = []
     for v in range(1, num_videos + 1):
         img_dir = os.path.join(root, "cutMargin", str(v))
@@ -144,28 +165,59 @@ def index_dataset(root: str, num_videos: int = 80, horizon: float = 5.0) -> list
                 v,
                 img_dir,
                 phase_file,
-                tool_file if os.path.exists(tool_file) else None,
+                tool_file if (not m2cai and os.path.exists(tool_file)) else None,
                 horizon,
+                phase_to_id=phase_to_id,
+                with_tools=not m2cai,
             )
         )
     return videos
 
 
-def _collect(videos: Sequence[VideoIndex]) -> Split:
+def _collect(videos: Sequence[VideoIndex], width: int = 15) -> Split:
     paths, labels, num_each = [], [], []
     for v in videos:
         paths.extend(v.img_paths)
         labels.append(v.labels)
         num_each.append(v.num_frames)
-    return Split(paths, np.concatenate(labels) if labels else np.zeros((0, 15)), num_each)
+    return Split(paths, np.concatenate(labels) if labels else np.zeros((0, width)), num_each)
 
 
 def make_splits(videos: Sequence[VideoIndex], scheme: str = "stage2"):
-    """Returns (train, val, test) Splits per the reference schemes."""
-    n_train = {"stage1": 32, "stage2": 40}[scheme]
-    train = _collect(videos[:n_train])
-    val = _collect(videos[40:48])
-    test = _collect(videos[40:80])
+    """Returns (train, val, test) Splits per the reference schemes.
+
+    - stage1 / stage2: Cholec80 32- / 40-video train, val 41-48 ⊂ test 41-80.
+    - m2cai: 27 train / val 28-34 ⊂ test 28-41 — the 27_7_14 split recorded
+      in the reference's pickle name (get_path_labels.py:283-296,317; the
+      val/test loops are commented out there, the filename and the same
+      val ⊂ test pattern as Cholec80 pin the intent).
+    - m2cai_all: all 41 videos in train, empty val/test — the branch as it
+      literally executes.
+    """
+    width = videos[0].labels.shape[1] if videos else 15
+    if scheme in ("stage1", "stage2"):
+        n_train = {"stage1": 32, "stage2": 40}[scheme]
+        train = _collect(videos[:n_train], width)
+        val = _collect(videos[40:48], width)
+        test = _collect(videos[40:80], width)
+    elif scheme == "m2cai":
+        train = _collect(videos[:27], width)
+        val = _collect(videos[27:34], width)
+        test = _collect(videos[27:41], width)
+    elif scheme == "m2cai_all":
+        train = _collect(videos[:41], width)
+        val = _collect([], width)
+        test = _collect([], width)
+    elif scheme == "smoke":
+        # synthetic pipeline drives only: proportional split of however many
+        # videos exist (the reference schemes hardcode 80-/41-video corpora)
+        n = len(videos)
+        a, b = max(1, n // 2), max(1, n // 4)
+        train = _collect(videos[:a], width)
+        val = _collect(videos[a : a + b], width)
+        test = _collect(videos[a + b :], width)
+    else:
+        raise ValueError(f"unknown split scheme {scheme!r}")
     return train, val, test
 
 

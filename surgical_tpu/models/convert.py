@@ -171,6 +171,104 @@ def import_mit_state_dict(
     return params
 
 
+# -- Full EVP stage-2 checkpoint (mix_transformer_evp.py + segformer_head.py) --
+
+def _mha_to_split_proj(sd: Mapping[str, np.ndarray], key: str, dim: int) -> dict:
+    """torch nn.MultiheadAttention (joint in_proj) -> separate q/k/v Dense
+    (MotionGuidedCrossAttention, mix_transformer_evp.py:862-890)."""
+    w = np.asarray(sd[f"{key}.cross_attn.in_proj_weight"])  # [3C, C]
+    b = np.asarray(sd[f"{key}.cross_attn.in_proj_bias"])
+    out = {}
+    for name, wi, bi in (
+        ("q_proj", w[:dim], b[:dim]),
+        ("k_proj", w[dim : 2 * dim], b[dim : 2 * dim]),
+        ("v_proj", w[2 * dim :], b[2 * dim :]),
+    ):
+        out[name] = {"kernel": wi.T, "bias": bi}
+    out["out_proj"] = _dense(sd, f"{key}.cross_attn.out_proj")
+    out["norm"] = _ln(sd, f"{key}.norm")
+    return out
+
+
+def import_evp_state_dict(
+    sd: Mapping[str, np.ndarray],
+    depths=(3, 4, 18, 3),
+) -> tuple[dict, dict]:
+    """Reference stage-2 ``.pth`` (the FULL MixVisionTransformerEVP state
+    dict: trunk + prompt generator + flow encoder + cross-attention + pooled
+    head) -> (MiTEVP params, batch_stats).
+
+    Complements import_mit_state_dict (trunk-only ImageNet load) with every
+    trained key of train_evp.py/finetune_evp.py checkpoints, so extraction
+    can run reference weights end-to-end (generate_evp_LFB.py:412-437).
+    """
+    params: dict = dict(import_mit_state_dict(sd, depths))
+    batch_stats: dict = {}
+
+    # prompt generator (mix_transformer_evp.py:550-815)
+    pg: dict = {}
+    P = "prompt_generator"
+    if f"{P}.bimask_pos_embed" in sd:
+        pg["bimask_pos_embed"] = np.asarray(sd[f"{P}.bimask_pos_embed"]).transpose(1, 2, 0)
+    for s in range(1, 5):
+        if f"{P}.handcrafted_generator{s}.proj.weight" in sd:
+            pg[f"handcrafted_generator{s}"] = {
+                "proj": _conv(sd, f"{P}.handcrafted_generator{s}.proj"),
+                "norm": _ln(sd, f"{P}.handcrafted_generator{s}.norm"),
+            }
+        if f"{P}.embedding_generator{s}.weight" in sd:
+            pg[f"embedding_generator{s}"] = _dense(sd, f"{P}.embedding_generator{s}")
+        if f"{P}.shared_mlp{s}.weight" in sd:
+            pg[f"shared_mlp{s}"] = _dense(sd, f"{P}.shared_mlp{s}")
+        if f"{P}.fully_shared_mlp{s}.0.weight" in sd:
+            pg[f"fully_shared_mlp{s}_0"] = _dense(sd, f"{P}.fully_shared_mlp{s}.0")
+            pg[f"fully_shared_mlp{s}_1"] = _dense(sd, f"{P}.fully_shared_mlp{s}.2")
+        for d in range(depths[s - 1]):
+            if f"{P}.lightweight_mlp{s}_{d}.0.weight" in sd:
+                pg[f"lightweight_mlp{s}_{d}"] = _dense(sd, f"{P}.lightweight_mlp{s}_{d}.0")
+            if f"{P}.fully_unshared_mlp{s}_{d}.0.weight" in sd:
+                pg[f"fully_unshared_mlp{s}_{d}_0"] = _dense(sd, f"{P}.fully_unshared_mlp{s}_{d}.0")
+                pg[f"fully_unshared_mlp{s}_{d}_1"] = _dense(sd, f"{P}.fully_unshared_mlp{s}_{d}.2")
+    if pg:
+        params["prompt_generator"] = pg
+
+    # optical-flow encoder (mix_transformer_evp.py:818-859)
+    if "flow_encoder.conv1.weight" in sd:
+        fe_p, fe_s = {}, {}
+        for i in (1, 2, 3, 4):
+            fe_p[f"conv{i}"] = _conv(sd, f"flow_encoder.conv{i}")
+            bnp, bns = _bn(sd, f"flow_encoder.bn{i}")
+            fe_p[f"bn{i}"] = bnp
+            fe_s[f"bn{i}"] = bns
+        params["flow_encoder"] = fe_p
+        batch_stats["flow_encoder"] = fe_s
+
+    # motion-guided cross attention, stages 3-4
+    for name, dim_key in (("cross_attn_s3", 2), ("cross_attn_s4", 3)):
+        if f"{name}.cross_attn.in_proj_weight" in sd:
+            dim = np.asarray(sd[f"{name}.cross_attn.in_proj_weight"]).shape[1]
+            params[name] = _mha_to_split_proj(sd, name, dim)
+
+    # pooled head (segformer_head.py:46-179)
+    if "head.linear_c4.proj.weight" in sd:
+        hp: dict = {}
+        for i in (1, 2, 3, 4):
+            hp[f"linear_c{i}"] = _dense(sd, f"head.linear_c{i}.proj")
+        hp["linear_fuse"] = {
+            "kernel": np.asarray(sd["head.linear_fuse.conv.weight"]).transpose(2, 3, 1, 0)
+        }
+        bnp, bns = _bn(sd, "head.linear_fuse.bn")
+        hp["fuse_bn"] = bnp
+        batch_stats["head"] = {"fuse_bn": bns}
+        hp["fc_1"] = _dense(sd, "head.fc.0")
+        hp["fc_2"] = _dense(sd, "head.fc.2")
+        hp["fc_ant_1"] = _dense(sd, "head.fc_ant.0")
+        hp["fc_ant_2"] = _dense(sd, "head.fc_ant.2")
+        params["head"] = hp
+
+    return params, batch_stats
+
+
 # -- RAFT (upstream princeton-vl raft-things.pth layout) -----------------------
 
 def _frozen_bn(sd, key):

@@ -24,10 +24,16 @@ from surgical_tpu.core.config import HeadConfig
 
 
 def bilinear_resize(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
-    """align_corners=False bilinear (half-pixel centers), NHWC."""
+    """align_corners=False bilinear (half-pixel centers), NHWC.
+
+    antialias=False: torch F.interpolate(mode='bilinear') point-samples with
+    a 2x2 bilinear kernel even when downscaling (segformer_head.py:150-156);
+    jax.image.resize would otherwise widen the kernel for downsampling,
+    breaking reference parity.
+    """
     B, H, W, C = x.shape
     return jax.image.resize(
-        x, (B, out_hw[0], out_hw[1], C), method="bilinear"
+        x, (B, out_hw[0], out_hw[1], C), method="bilinear", antialias=False
     ).astype(x.dtype)
 
 

@@ -51,6 +51,28 @@ def build_frozen_optimizer(tx: optax.GradientTransformation, params: Any):
     )
 
 
+def partition_params(params: Any):
+    """Split params into (trainable, frozen) leaf lists + treedef.
+
+    Frozen positions hold None (an empty pytree node), so differentiating
+    w.r.t. the trainable list computes NO gradients for the frozen trunk —
+    the reference's requires_grad=False semantics (train_evp.py:379-382)
+    done the JAX way. This skips the trunk's weight-gradient matmuls in the
+    backward pass and shrinks optimizer state to the trainable subtree.
+    """
+    leaves, treedef = jax.tree.flatten(params)
+    m_leaves = jax.tree.leaves(trainable_mask(params))
+    train = [p if m else None for p, m in zip(leaves, m_leaves)]
+    frozen = [None if m else p for p, m in zip(leaves, m_leaves)]
+    return train, frozen, treedef
+
+
+def combine_params(train: list, frozen: list, treedef) -> Any:
+    return jax.tree_util.tree_unflatten(
+        treedef, [t if t is not None else f for t, f in zip(train, frozen)]
+    )
+
+
 @dataclass
 class EarlyStop:
     """Stop when train loss drops below a target (finetune_evp.py:594-616)."""
@@ -147,8 +169,9 @@ class BackboneTrainer:
         variables = self.model.init(rng, z, z, jnp.zeros((1, img_size, img_size, 2)))
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
-        self._tx = build_frozen_optimizer(build_optimizer(self.cfg.optim), params)
-        opt_state = self._tx.init(params)
+        self._tx = build_optimizer(self.cfg.optim)
+        train, _, _ = partition_params(params)
+        opt_state = self._tx.init(train)
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1, 2))
         return meshlib.replicate(self.mesh, (params, batch_stats, opt_state))
 
@@ -157,7 +180,12 @@ class BackboneTrainer:
         img, seg, flow = self._dequant(img_u8, seg_u8, flow_f16)
         img, seg, flow = self._augment(img, seg, flow, jax.random.fold_in(rng, 0))
 
-        def loss_fn(p):
+        # differentiate ONLY the trainable subtree: no weight gradients (or
+        # optimizer moments) are ever materialized for the frozen trunk
+        train, frozen, treedef = partition_params(params)
+
+        def loss_fn(train):
+            p = combine_params(train, frozen, treedef)
             (y, y_ant), updates = self.model.apply(
                 {"params": p, "batch_stats": batch_stats},
                 img, seg, flow, train=True,
@@ -172,9 +200,10 @@ class BackboneTrainer:
 
         (loss, (ce, reg, correct, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(params)
-        updates, opt_state = self._tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        )(train)
+        updates, opt_state = self._tx.update(grads, opt_state, train)
+        train = optax.apply_updates(train, updates)
+        params = combine_params(train, frozen, treedef)
         return params, new_bs, opt_state, loss, ce, reg, correct
 
     def _eval_step_impl(self, params, batch_stats, img_u8, seg_u8, flow_f16):

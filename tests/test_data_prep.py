@@ -98,6 +98,51 @@ def test_index_video(tmp_path):
     assert vi.img_paths[1].endswith("cutMargin/1/25.jpg")
 
 
+def make_fake_m2cai(tmp_path, num_videos=4, frames_25fps=200):
+    from surgical_tpu.data.cholec80 import M2CAI_PHASE_NAMES
+
+    root = tmp_path / "m2cai16"
+    (root / "phase_annotations").mkdir(parents=True, exist_ok=True)
+    all_phases = {}
+    for v in range(1, num_videos + 1):
+        phases = np.repeat(np.arange(8), -(-frames_25fps // 8))[:frames_25fps]
+        with open(root / "phase_annotations" / f"video{v:02d}-phase.txt", "w") as f:
+            f.write("Frame\tPhase\n")
+            for i, p in enumerate(phases):
+                f.write(f"{i}\t{M2CAI_PHASE_NAMES[p]}\n")
+        all_phases[v] = phases
+    return str(root), all_phases
+
+
+def test_index_m2cai(tmp_path):
+    """M2CAI16 variant: 8-phase vocab, no tool columns, [phase, 8 x ant]
+    rows (get_path_labels.py M2CAI branch; ant_cols (1, 9))."""
+    from surgical_tpu.data.cholec80 import index_dataset
+
+    root, all_phases = make_fake_m2cai(tmp_path)
+    videos = index_dataset(root, num_videos=4, dataset="m2cai16")
+    assert len(videos) == 4
+    v = videos[0]
+    T_ = len(range(0, len(all_phases[1]), 25))
+    assert v.labels.shape == (T_, 9)
+    np.testing.assert_array_equal(v.labels[:, 0], all_phases[1][::25])
+    assert v.labels[:, 0].max() == 7  # 8-phase ids
+    assert (v.labels[:, 1:] >= 0).all() and (v.labels[:, 1:] <= 1).all()
+
+
+def test_m2cai_splits(tmp_path):
+    from surgical_tpu.data.cholec80 import index_dataset
+
+    root, _ = make_fake_m2cai(tmp_path, num_videos=41, frames_25fps=50)
+    videos = index_dataset(root, num_videos=41, dataset="m2cai16")
+    train, val, test = make_splits(videos, scheme="m2cai")
+    assert (len(train.num_each), len(val.num_each), len(test.num_each)) == (27, 7, 14)
+    assert train.labels.shape[1] == 9
+    tr_all, va, te = make_splits(videos, scheme="m2cai_all")
+    assert len(tr_all.num_each) == 41 and len(va.num_each) == 0 == len(te.num_each)
+    assert va.labels.shape == (0, 9)
+
+
 def test_reference_pickle_roundtrip(tmp_path):
     labels = np.arange(30, dtype=np.float64).reshape(2, 15)
     s = Split(["a.jpg", "b.jpg"], labels, [2])
