@@ -24,7 +24,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from surgical_tpu.core.config import BackboneConfig, HeadConfig
-from surgical_tpu.kernels.mit_block import block_weights_from_params, fused_mit_block
+from surgical_tpu.kernels.mit_block import (
+    block_weights_from_params,
+    fused_mit_block,
+    fused_mit_block_packed2,
+    pack_weights2,
+)
 from surgical_tpu.models.mit_evp import MiTEVP
 from surgical_tpu.models.mit_fused import _conv, _dense, _ln, fused_forward
 
@@ -85,13 +90,23 @@ def main():
         while B % bt_fit != 0:
             bt_fit -= 1
 
+        # NOTE: return a scalar — D2H of a [B, N, C] stage output through the
+        # collapsed tunnel (~0.1 GB/s) would dominate the timing by 10x.
+
+        packed = C == 64 and heads == 1 and B % 2 == 0
+        pweights = [pack_weights2(w) for w in bweights] if packed else None
+
         # (a) Pallas kernels only: LN1 + block loop with fixed k/v
         def blocks_only(x):
             for d in range(depth):
                 xln = _ln(x, bp_all[d]["norm1"])
-                x = fused_mit_block(x, xln, kv_fixed, kv_fixed, bweights[d],
-                                    heads=heads, H=H, W=W, bt=bt_fit)
-            return x
+                if packed:
+                    x = fused_mit_block_packed2(x, xln, kv_fixed, kv_fixed,
+                                                pweights[d], H=H, W=W)
+                else:
+                    x = fused_mit_block(x, xln, kv_fixed, kv_fixed, bweights[d],
+                                        heads=heads, H=H, W=W, bt=bt_fit)
+            return jnp.sum(x.astype(jnp.float32))
 
         # (b) full stage: + SR conv + KV proj per block (as mit_fused runs)
         def full_stage(x):
@@ -104,9 +119,13 @@ def main():
                 else:
                     kv_in = xln
                 kv = _dense(kv_in, bp["attn"]["kv"])
-                x = fused_mit_block(x, xln, kv[..., :C], kv[..., C:], bweights[d],
-                                    heads=heads, H=H, W=W, bt=bt_fit)
-            return x
+                if packed:
+                    x = fused_mit_block_packed2(x, xln, kv[..., :C], kv[..., C:],
+                                                pweights[d], H=H, W=W)
+                else:
+                    x = fused_mit_block(x, xln, kv[..., :C], kv[..., C:], bweights[d],
+                                        heads=heads, H=H, W=W, bt=bt_fit)
+            return jnp.sum(x.astype(jnp.float32))
 
         t_a = timeit(jax.jit(blocks_only), x)
         t_b = timeit(jax.jit(full_stage), x)

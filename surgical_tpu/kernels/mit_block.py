@@ -39,16 +39,21 @@ def _layernorm(x, scale, bias, eps=1e-6):
     return ((x32 - m) * jax.lax.rsqrt(v + eps) * scale + bias).astype(x.dtype)
 
 
-def _dwconv3x3(h, w_taps, bias, H, W):
-    """3x3 depthwise conv on tokens [N=H*W, C] via 9 masked circular rolls.
+def _dwconv3x3(h, w_taps, bias, H, W, N):
+    """3x3 depthwise conv on tokens [bt*N, C] via 9 masked static shifts.
+
+    Works on a FLATTENED batch tile: shifts that cross an image boundary
+    land on tokens whose intra-image row/col (computed from ``t % N``) falls
+    outside the grid, so the same validity mask that handles image edges
+    also isolates images from each other.
 
     w_taps: [9, C] (tap order dy-major, dy,dx in {-1,0,1}); bias: [1, C].
     """
-    N, C = h.shape
-    idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+    M, C = h.shape  # M = bt * N
+    idx = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0) % N
     row = idx // W
     col = idx % W
-    acc = jnp.zeros((N, C), jnp.float32)
+    acc = jnp.zeros((M, C), jnp.float32)
     k = 0
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
@@ -76,30 +81,40 @@ def _block_kernel(
     w1_ref, b1_ref, wdw_ref, bdw_ref, w2_ref, b2_ref,
     # output
     y_ref,
-    *, heads: int, H: int, W: int,
+    *, heads: int, H: int, W: int, bt: int,
 ):
-    bt = x_ref.shape[0]
+    """One FLATTENED batch tile per grid step: x/xln arrive [bt*N, C] so the
+    projections and the MLP run as single large matmuls (M = bt*N keeps the
+    MXU fed; per-image M=196 at stage 3 measured only ~23% utilization).
+    Only the attention core (scores/softmax/context) loops per image — its
+    keys must not mix images."""
+    N = H * W
     C = x_ref.shape[-1]
+    Nkv = k_ref.shape[1] // bt
     hd = C // heads
     scale = 1.0 / np.sqrt(hd)
 
-    for b in range(bt):  # static unroll over the batch tile
-        x = x_ref[b]        # [N, C]
-        xln = xln_ref[b]
-        k = k_ref[b]        # [Nkv, C]
-        v = v_ref[b]
+    x = x_ref[0]          # [bt*N, C]
+    xln = xln_ref[0]
+    kk = k_ref[0]
+    vv = v_ref[0]
 
-        q = (
-            jnp.dot(xln, wq_ref[:], preferred_element_type=jnp.float32)
-            + bq_ref[0][None, :]
-        ).astype(x.dtype)
+    q = (
+        jnp.dot(xln, wq_ref[:], preferred_element_type=jnp.float32)
+        + bq_ref[0][None, :]
+    ).astype(x.dtype)
 
+    ctx_rows = []
+    for b in range(bt):  # attention: per image, per head (small dots)
+        qb = q[b * N : (b + 1) * N]
+        kb = kk[b * Nkv : (b + 1) * Nkv]
+        vb = vv[b * Nkv : (b + 1) * Nkv]
         ctx_heads = []
         for h in range(heads):
             sl = slice(h * hd, (h + 1) * hd)
             scores = (
                 jax.lax.dot_general(
-                    q[:, sl], k[:, sl],
+                    qb[:, sl], kb[:, sl],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -107,30 +122,33 @@ def _block_kernel(
             )
             probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
             ctx_heads.append(
-                jnp.dot(probs, v[:, sl], preferred_element_type=jnp.float32)
+                jnp.dot(probs, vb[:, sl], preferred_element_type=jnp.float32)
             )
-        ctx = jnp.concatenate(ctx_heads, axis=-1).astype(x.dtype)
+        ctx_rows.append(jnp.concatenate(ctx_heads, axis=-1))
+    ctx = (
+        jnp.concatenate(ctx_rows, axis=0) if bt > 1 else ctx_rows[0]
+    ).astype(x.dtype)
 
-        attn_out = (
-            jnp.dot(ctx, wo_ref[:], preferred_element_type=jnp.float32)
-            + bo_ref[0][None, :]
-        )
-        x = (x.astype(jnp.float32) + attn_out).astype(x.dtype)  # +residual
+    attn_out = (
+        jnp.dot(ctx, wo_ref[:], preferred_element_type=jnp.float32)
+        + bo_ref[0][None, :]
+    )
+    x = (x.astype(jnp.float32) + attn_out).astype(x.dtype)  # +residual
 
-        h2 = _layernorm(x, ln2s_ref[0][None, :], ln2b_ref[0][None, :])
-        h2 = (
-            jnp.dot(h2, w1_ref[:], preferred_element_type=jnp.float32)
-            + b1_ref[0][None, :]
-        ).astype(x.dtype)
-        h2 = _dwconv3x3(h2, wdw_ref[:], bdw_ref[0][None, :], H, W)
-        # tanh-approx GELU: exact erf does not lower in Pallas TPU (Mosaic
-        # has no erfc); max deviation ~1e-3 on unit-scale activations
-        h2 = jax.nn.gelu(h2.astype(jnp.float32), approximate=True)
-        mlp_out = (
-            jnp.dot(h2.astype(x.dtype), w2_ref[:], preferred_element_type=jnp.float32)
-            + b2_ref[0][None, :]
-        )
-        y_ref[b] = (x.astype(jnp.float32) + mlp_out).astype(y_ref.dtype)
+    h2 = _layernorm(x, ln2s_ref[0][None, :], ln2b_ref[0][None, :])
+    h2 = (
+        jnp.dot(h2, w1_ref[:], preferred_element_type=jnp.float32)
+        + b1_ref[0][None, :]
+    ).astype(x.dtype)
+    h2 = _dwconv3x3(h2, wdw_ref[:], bdw_ref[0][None, :], H, W, N)
+    # tanh-approx GELU: exact erf does not lower in Pallas TPU (Mosaic
+    # has no erfc); max deviation ~1e-3 on unit-scale activations
+    h2 = jax.nn.gelu(h2.astype(jnp.float32), approximate=True)
+    mlp_out = (
+        jnp.dot(h2.astype(x.dtype), w2_ref[:], preferred_element_type=jnp.float32)
+        + b2_ref[0][None, :]
+    )
+    y_ref[0] = (x.astype(jnp.float32) + mlp_out).astype(y_ref.dtype)
 
 
 @functools.partial(
@@ -156,16 +174,23 @@ def fused_mit_block(
     assert B % bt == 0, (B, bt)
     grid = (B // bt,)
 
+    # flatten each bt-image tile into one [bt*N, C] row block (an HBM
+    # bitcast, free) so the kernel's matmuls see M = bt*N rows
+    xf = x.reshape(B // bt, bt * N, C)
+    xlnf = xln.reshape(B // bt, bt * N, C)
+    kf = k.reshape(B // bt, bt * Nkv, C)
+    vf = v.reshape(B // bt, bt * Nkv, C)
+
     def bspec(shape, batched=True):
         if batched:
-            return pl.BlockSpec((bt, *shape), lambda i: (i, *([0] * len(shape))),
+            return pl.BlockSpec((1, *shape), lambda i: (i, *([0] * len(shape))),
                                 memory_space=pltpu.VMEM)
         return pl.BlockSpec(shape, lambda i: tuple([0] * len(shape)),
                             memory_space=pltpu.VMEM)
 
     row = lambda w: jnp.asarray(w).reshape(1, -1)
     args = (
-        x, xln, k, v,
+        xf, xlnf, kf, vf,
         weights["wq"], row(weights["bq"]), weights["wo"], row(weights["bo"]),
         row(weights["ln2_scale"]), row(weights["ln2_bias"]),
         weights["w1"], row(weights["b1"]),
@@ -173,7 +198,8 @@ def fused_mit_block(
         weights["w2"], row(weights["b2"]),
     )
     in_specs = [
-        bspec((N, C)), bspec((N, C)), bspec((Nkv, C)), bspec((Nkv, C)),
+        bspec((bt * N, C)), bspec((bt * N, C)),
+        bspec((bt * Nkv, C)), bspec((bt * Nkv, C)),
         bspec((C, C), False), bspec((1, C), False),
         bspec((C, C), False), bspec((1, C), False),
         bspec((1, C), False), bspec((1, C), False),
@@ -182,14 +208,230 @@ def fused_mit_block(
         bspec((hidden, C), False), bspec((1, C), False),
     ]
 
-    return pl.pallas_call(
-        functools.partial(_block_kernel, heads=heads, H=H, W=W),
+    out = pl.pallas_call(
+        functools.partial(_block_kernel, heads=heads, H=H, W=W, bt=bt),
         grid=grid,
         in_specs=in_specs,
-        out_specs=bspec((N, C)),
-        out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
+        out_specs=bspec((bt * N, C)),
+        out_shape=jax.ShapeDtypeStruct((B // bt, bt * N, C), x.dtype),
         interpret=interpret,
     )(*args)
+    return out.reshape(B, N, C)
+
+
+# -- lane-packed variant for C=64 stages ---------------------------------------
+#
+# MiT stage 1 has C=64: every [*, 64] array wastes half of each 128-lane
+# register/tile, capping effective bandwidth at ~125 GB/s (docs/
+# kernel_notes.md). This variant packs TWO images into the lane dimension
+# ([N, 128]) and runs the whole block on full-width arrays:
+#   - projections / MLP: block-diagonal weights (dense FLOPs double but the
+#     stage is bandwidth-bound, not FLOPs-bound)
+#   - attention (heads=1, true for stage 1 of every MiT variant): scores =
+#     q_packed @ blockdiag(k1^T, k2^T) -> [N, 98]; the per-image softmax is
+#     EXACT with a row-GLOBAL max (softmax is shift-invariant per row), and
+#     per-segment sums come from an indicator matmul
+#   - LayerNorm per 64-lane half: mean/var via indicator matmuls
+#   - depthwise conv: taps tile across the packed hidden channels; the MLP
+#     tail (dwconv+GELU+fc2) runs in two hidden-channel chunks to keep the
+#     f32 accumulator inside VMEM
+
+
+def _block_kernel_packed2(
+    x_ref, xln_ref, bdk_ref, bdv_ref,
+    seg_ref, segT_ref, ind_ref, indT_ref,
+    wq_ref, bq_ref, wo_ref, bo_ref,
+    ln2s_ref, ln2b_ref,
+    w1_ref, b1_ref, wdw_ref, bdw_ref, w2_ref, b2_ref,
+    y_ref,
+    *, H: int, W: int,
+):
+    N = H * W
+    C2 = x_ref.shape[-1]  # 128 (two packed 64-channel images)
+    hd = C2 // 2
+    scale = 1.0 / np.sqrt(hd)
+
+    x = x_ref[0]      # [N, 128]
+    xln = xln_ref[0]
+
+    q = (
+        jnp.dot(xln, wq_ref[:], preferred_element_type=jnp.float32)
+        + bq_ref[0][None, :]
+    ).astype(x.dtype)
+
+    # [N, 2*Nkv]: lanes [0, Nkv) are image-1 scores (q lanes 0:64 contract
+    # k1^T; the other block rows are zero), lanes [Nkv, 2*Nkv) are image-2
+    # scores — every lane is a real score, there are no cross terms.
+    scores = (
+        jnp.dot(q, bdk_ref[0], preferred_element_type=jnp.float32) * scale
+    )
+    m = jnp.max(scores, axis=-1, keepdims=True)  # row-global max: exact
+    p = jnp.exp(scores - m)
+    ssum = jnp.dot(p, seg_ref[:], preferred_element_type=jnp.float32)  # [N, 2]
+    denom = jnp.dot(ssum, segT_ref[:], preferred_element_type=jnp.float32)
+    probs = (p / denom).astype(x.dtype)
+    ctx = jnp.dot(probs, bdv_ref[0], preferred_element_type=jnp.float32).astype(x.dtype)
+
+    attn_out = (
+        jnp.dot(ctx, wo_ref[:], preferred_element_type=jnp.float32)
+        + bo_ref[0][None, :]
+    )
+    x = (x.astype(jnp.float32) + attn_out).astype(x.dtype)
+
+    # LayerNorm per 64-lane half via indicator matmuls
+    x32 = x.astype(jnp.float32)
+    mu = jnp.dot(
+        jnp.dot(x32, ind_ref[:], preferred_element_type=jnp.float32) * (1.0 / hd),
+        indT_ref[:], preferred_element_type=jnp.float32,
+    )
+    d = x32 - mu
+    var = jnp.dot(
+        jnp.dot(d * d, ind_ref[:], preferred_element_type=jnp.float32) * (1.0 / hd),
+        indT_ref[:], preferred_element_type=jnp.float32,
+    )
+    h2 = ((d * jax.lax.rsqrt(var + 1e-6)) * ln2s_ref[0][None, :]
+          + ln2b_ref[0][None, :]).astype(x.dtype)
+
+    h2 = (
+        jnp.dot(h2, w1_ref[:], preferred_element_type=jnp.float32)
+        + b1_ref[0][None, :]
+    ).astype(x.dtype)
+
+    # MLP tail in hidden-channel halves: the f32 dwconv accumulator of the
+    # full packed hidden ([N, 2*hidden] f32) would overflow VMEM
+    hidden2 = h2.shape[-1]
+    halfh = hidden2 // 2
+    mlp_out = b2_ref[0][None, :].astype(jnp.float32)
+    for c0 in (0, halfh):
+        hc = h2[:, c0 : c0 + halfh]
+        hc = _dwconv3x3(hc, wdw_ref[:, c0 : c0 + halfh],
+                        bdw_ref[0][None, c0 : c0 + halfh], H, W, N)
+        hc = jax.nn.gelu(hc.astype(jnp.float32), approximate=True)
+        mlp_out = mlp_out + jnp.dot(
+            hc.astype(x.dtype), w2_ref[c0 : c0 + halfh],
+            preferred_element_type=jnp.float32,
+        )
+    y_ref[0] = (x.astype(jnp.float32) + mlp_out).astype(y_ref.dtype)
+
+
+def _block_diag2(w: jax.Array) -> jax.Array:
+    """[a, b] -> [2a, 2b] with w on the diagonal blocks."""
+    a, b = w.shape
+    z = jnp.zeros((a, b), w.dtype)
+    return jnp.concatenate(
+        [jnp.concatenate([w, z], axis=1), jnp.concatenate([z, w], axis=1)], axis=0
+    )
+
+
+def pack_weights2(weights: dict[str, Any]) -> dict[str, Any]:
+    """Pack per-image block weights for the 2-image lane-packed kernel."""
+    cat = lambda v: jnp.concatenate([jnp.asarray(v)] * 2, axis=-1)
+    return {
+        "wq": _block_diag2(jnp.asarray(weights["wq"])),
+        "bq": cat(weights["bq"]),
+        "wo": _block_diag2(jnp.asarray(weights["wo"])),
+        "bo": cat(weights["bo"]),
+        "ln2_scale": cat(weights["ln2_scale"]),
+        "ln2_bias": cat(weights["ln2_bias"]),
+        "w1": _block_diag2(jnp.asarray(weights["w1"])),
+        "b1": cat(weights["b1"]),
+        "wdw": cat(weights["wdw"]),
+        "bdw": cat(weights["bdw"]),
+        "w2": _block_diag2(jnp.asarray(weights["w2"])),
+        "b2": cat(weights["b2"]),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "interpret"))
+def fused_mit_block_packed2(
+    x: jax.Array,      # [B, N, 64] residual input (B even)
+    xln: jax.Array,    # [B, N, 64] = LN1(x)
+    k: jax.Array,      # [B, Nkv, 64]
+    v: jax.Array,      # [B, Nkv, 64]
+    packed: dict[str, Any],  # pack_weights2(block_weights_from_params(...))
+    *,
+    H: int,
+    W: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Single-head C=64 block with two images packed into the 128 lanes."""
+    B, N, C = x.shape
+    assert B % 2 == 0 and C == 64, (B, C)
+    P = B // 2
+    Nkv = k.shape[1]
+
+    def pack(a):  # [B, n, 64] -> [P, n, 128]
+        return a.reshape(P, 2, a.shape[1], C).transpose(0, 2, 1, 3).reshape(
+            P, a.shape[1], 2 * C)
+
+    xp, xlnp = pack(x), pack(xln)
+
+    # block-diagonal k^T / v per image pair: [P, 128, 2*Nkv], [P, 2*Nkv, 128]
+    kp = k.reshape(P, 2, Nkv, C)
+    vp = v.reshape(P, 2, Nkv, C)
+    z = jnp.zeros((P, C, Nkv), k.dtype)
+    kT = jnp.swapaxes(kp, 2, 3)  # [P, 2, C, Nkv]
+    bdk = jnp.concatenate(
+        [jnp.concatenate([kT[:, 0], z], axis=2),
+         jnp.concatenate([z, kT[:, 1]], axis=2)], axis=1)
+    zv = jnp.zeros((P, Nkv, C), v.dtype)
+    bdv = jnp.concatenate(
+        [jnp.concatenate([vp[:, 0], zv], axis=2),
+         jnp.concatenate([zv, vp[:, 1]], axis=2)], axis=1)
+
+    seg = jnp.concatenate(
+        [jnp.concatenate([jnp.ones((Nkv, 1)), jnp.zeros((Nkv, 1))], axis=1),
+         jnp.concatenate([jnp.zeros((Nkv, 1)), jnp.ones((Nkv, 1))], axis=1)],
+        axis=0).astype(jnp.float32)  # [2*Nkv, 2]
+    segT = seg.T  # [2, 2*Nkv]
+    ind = jnp.concatenate(
+        [jnp.concatenate([jnp.ones((C, 1)), jnp.zeros((C, 1))], axis=1),
+         jnp.concatenate([jnp.zeros((C, 1)), jnp.ones((C, 1))], axis=1)],
+        axis=0).astype(jnp.float32)  # [128, 2]
+    indT = ind.T
+
+    hidden2 = packed["w1"].shape[1]
+
+    def bspec(shape, batched=True):
+        if batched:
+            return pl.BlockSpec((1, *shape), lambda i: (i, *([0] * len(shape))),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec(shape, lambda i: tuple([0] * len(shape)),
+                            memory_space=pltpu.VMEM)
+
+    row = lambda w: jnp.asarray(w).reshape(1, -1)
+    args = (
+        xp, xlnp, bdk, bdv, seg, segT, ind, indT,
+        packed["wq"], row(packed["bq"]), packed["wo"], row(packed["bo"]),
+        row(packed["ln2_scale"]), row(packed["ln2_bias"]),
+        packed["w1"], row(packed["b1"]),
+        packed["wdw"], row(packed["bdw"]),
+        packed["w2"], row(packed["b2"]),
+    )
+    C2 = 2 * C
+    in_specs = [
+        bspec((N, C2)), bspec((N, C2)),
+        bspec((C2, 2 * Nkv)), bspec((2 * Nkv, C2)),
+        bspec((2 * Nkv, 2), False), bspec((2, 2 * Nkv), False),
+        bspec((C2, 2), False), bspec((2, C2), False),
+        bspec((C2, C2), False), bspec((1, C2), False),
+        bspec((C2, C2), False), bspec((1, C2), False),
+        bspec((1, C2), False), bspec((1, C2), False),
+        bspec((C2, hidden2), False), bspec((1, hidden2), False),
+        bspec((9, hidden2), False), bspec((1, hidden2), False),
+        bspec((hidden2, C2), False), bspec((1, C2), False),
+    ]
+
+    out = pl.pallas_call(
+        functools.partial(_block_kernel_packed2, H=H, W=W),
+        grid=(P,),
+        in_specs=in_specs,
+        out_specs=bspec((N, C2)),
+        out_shape=jax.ShapeDtypeStruct((P, N, C2), x.dtype),
+        interpret=interpret,
+    )(*args)
+    # unpack: [P, N, 128] -> [B, N, 64]
+    return out.reshape(P, N, 2, C).transpose(0, 2, 1, 3).reshape(B, N, C)
 
 
 def block_weights_from_params(p: dict) -> dict:

@@ -20,7 +20,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from surgical_tpu.core.config import BackboneConfig, HeadConfig
-from surgical_tpu.kernels.mit_block import block_weights_from_params, fused_mit_block
+from surgical_tpu.kernels.mit_block import (
+    block_weights_from_params,
+    fused_mit_block,
+    fused_mit_block_packed2,
+    pack_weights2,
+)
 from surgical_tpu.models.mit_evp import gaussian_blur_5x5
 from surgical_tpu.models.segformer_head import bilinear_resize
 
@@ -150,16 +155,23 @@ def fused_forward(
             weights = jax.tree.map(
                 lambda a: jnp.asarray(a, dt), block_weights_from_params(bp)
             )
-            # per-stage batch tile sized to VMEM: ~0.5 MB of [N, C] activations
-            # per image (x, xln, out blocks are double-buffered and the
-            # kernel's f32 hidden/attn temporaries dominate at large N)
-            bt_fit = max(1, min(bt, (1 << 19) // (N * C * 2)))
-            while B % bt_fit != 0:
-                bt_fit -= 1
-            x = fused_mit_block(
-                x, xln, k, v, weights,
-                heads=cfg.num_heads[si], H=H, W=W, bt=bt_fit,
-            )
+            if C == 64 and cfg.num_heads[si] == 1 and B % 2 == 0:
+                # C=64 stages waste half of every 128-lane tile; run the
+                # 2-images-per-lane-row packed kernel instead
+                x = fused_mit_block_packed2(
+                    x, xln, k, v, pack_weights2(weights), H=H, W=W,
+                )
+            else:
+                # per-stage batch tile sized to VMEM: ~0.5 MB of [N, C]
+                # activations per image (x, xln, out blocks are double-
+                # buffered; the kernel's f32 temporaries dominate at large N)
+                bt_fit = max(1, min(bt, (1 << 19) // (N * C * 2)))
+                while B % bt_fit != 0:
+                    bt_fit -= 1
+                x = fused_mit_block(
+                    x, xln, k, v, weights,
+                    heads=cfg.num_heads[si], H=H, W=W, bt=bt_fit,
+                )
         x = _ln(x, params[f"norm{stage}"])
         grids.append(x.reshape(B, H, W, C))
         x = grids[-1]

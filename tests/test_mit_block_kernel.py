@@ -65,3 +65,57 @@ def test_fused_block_matches_reference(rng, heads, sr):
     np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
     # tighter check on the bulk of values
     assert np.median(np.abs(out - ref)) < 1e-3
+
+
+def test_flattened_bt_matches_bt1(rng):
+    """bt>1 (flattened batch tile) must bit-match bt=1 per-image runs."""
+    B, H, W, C, heads, sr = 4, 8, 8, 64, 1, 4
+    N, Nkv = H * W, (H // sr) * (W // sr)
+    x = jnp.asarray(rng.standard_normal((B, N, C)).astype(np.float32))
+    xln = jnp.asarray(rng.standard_normal((B, N, C)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, Nkv, C)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, Nkv, C)).astype(np.float32))
+    hidden = C * 4
+    r = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.1)
+    weights = {
+        "wq": r(C, C), "bq": r(C), "wo": r(C, C), "bo": r(C),
+        "ln2_scale": jnp.ones(C), "ln2_bias": jnp.zeros(C),
+        "w1": r(C, hidden), "b1": r(hidden),
+        "wdw": r(9, hidden), "bdw": r(hidden),
+        "w2": r(hidden, C), "b2": r(C),
+    }
+    out1 = fused_mit_block(x, xln, k, v, weights, heads=heads, H=H, W=W,
+                           bt=1, interpret=True)
+    out2 = fused_mit_block(x, xln, k, v, weights, heads=heads, H=H, W=W,
+                           bt=2, interpret=True)
+    out4 = fused_mit_block(x, xln, k, v, weights, heads=heads, H=H, W=W,
+                           bt=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out1), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out4), np.asarray(out1), rtol=1e-5, atol=1e-5)
+
+
+def test_lane_packed2_matches_unpacked(rng):
+    """2-image lane-packed C=64 kernel == the per-image kernel."""
+    from surgical_tpu.kernels.mit_block import fused_mit_block_packed2, pack_weights2
+
+    B, H, W, C, sr = 4, 8, 8, 64, 4
+    N, Nkv = H * W, (H // sr) * (W // sr)
+    x = jnp.asarray(rng.standard_normal((B, N, C)).astype(np.float32))
+    xln = jnp.asarray(rng.standard_normal((B, N, C)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, Nkv, C)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, Nkv, C)).astype(np.float32))
+    hidden = C * 4
+    r = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.1)
+    weights = {
+        "wq": r(C, C), "bq": r(C), "wo": r(C, C), "bo": r(C),
+        "ln2_scale": 1.0 + 0.1 * r(C), "ln2_bias": r(C),
+        "w1": r(C, hidden), "b1": r(hidden),
+        "wdw": r(9, hidden), "bdw": r(hidden),
+        "w2": r(hidden, C), "b2": r(C),
+    }
+    want = fused_mit_block(x, xln, k, v, weights, heads=1, H=H, W=W,
+                           bt=1, interpret=True)
+    got = fused_mit_block_packed2(x, xln, k, v, pack_weights2(weights),
+                                  H=H, W=W, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
