@@ -289,26 +289,31 @@ def _block_kernel_packed2(
         jnp.dot(d * d, ind_ref[:], preferred_element_type=jnp.float32) * (1.0 / hd),
         indT_ref[:], preferred_element_type=jnp.float32,
     )
-    h2 = ((d * jax.lax.rsqrt(var + 1e-6)) * ln2s_ref[0][None, :]
-          + ln2b_ref[0][None, :]).astype(x.dtype)
+    h2ln = ((d * jax.lax.rsqrt(var + 1e-6)) * ln2s_ref[0][None, :]
+            + ln2b_ref[0][None, :]).astype(x.dtype)
 
-    h2 = (
-        jnp.dot(h2, w1_ref[:], preferred_element_type=jnp.float32)
-        + b1_ref[0][None, :]
-    ).astype(x.dtype)
-
-    # MLP tail in hidden-channel halves: the f32 dwconv accumulator of the
-    # full packed hidden ([N, 2*hidden] f32) would overflow VMEM
-    hidden2 = h2.shape[-1]
-    halfh = hidden2 // 2
+    # MLP tail chunked over hidden channels: fc1 -> dwconv -> GELU -> fc2
+    # per 128-lane chunk, so neither the full [N, hidden2] activation nor
+    # its f32 dwconv/GELU temporaries are ever resident at once (the
+    # unchunked tail overflows the 16 MB VMEM stack at N=3136).
+    hidden2 = w1_ref.shape[-1]
+    CH = 128
     mlp_out = b2_ref[0][None, :].astype(jnp.float32)
-    for c0 in (0, halfh):
-        hc = h2[:, c0 : c0 + halfh]
-        hc = _dwconv3x3(hc, wdw_ref[:, c0 : c0 + halfh],
-                        bdw_ref[0][None, c0 : c0 + halfh], H, W, N)
+    # keep chunk slices 2-D: a 1-D partial slice becomes a gather, which
+    # Mosaic cannot lower
+    b1_row = b1_ref[0][None, :]
+    bdw_row = bdw_ref[0][None, :]
+    for c0 in range(0, hidden2, CH):
+        hc = (
+            jnp.dot(h2ln, w1_ref[:, c0 : c0 + CH],
+                    preferred_element_type=jnp.float32)
+            + b1_row[:, c0 : c0 + CH]
+        ).astype(x.dtype)
+        hc = _dwconv3x3(hc, wdw_ref[:, c0 : c0 + CH],
+                        bdw_row[:, c0 : c0 + CH], H, W, N)
         hc = jax.nn.gelu(hc.astype(jnp.float32), approximate=True)
         mlp_out = mlp_out + jnp.dot(
-            hc.astype(x.dtype), w2_ref[c0 : c0 + halfh],
+            hc.astype(x.dtype), w2_ref[c0 : c0 + CH],
             preferred_element_type=jnp.float32,
         )
     y_ref[0] = (x.astype(jnp.float32) + mlp_out).astype(y_ref.dtype)
