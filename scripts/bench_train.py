@@ -9,7 +9,10 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
@@ -31,10 +34,12 @@ def main():
 
     cfg = BackboneConfig.preset("b3")
     model = MiTEVP(cfg, HeadConfig(), compute_dtype=jnp.bfloat16)
+    use_fused = os.environ.get("BENCH_FUSED", "0") == "1"
     trainer = BackboneTrainer(
         model,
         TrainConfig(optim=OptimConfig(name="sgd", lr=1e-3, weight_decay=0.0,
                                       grad_clip_norm=None)),
+        use_fused=use_fused,
     )
     state = trainer.init(jax.random.key(0))
     params, batch_stats, opt_state = state
@@ -63,6 +68,7 @@ def main():
         np.asarray(loss)  # D2H fences the stream
         best = max(best, B * STEPS / (time.perf_counter() - t0))
     print(json.dumps({
+        "fused": use_fused,
         "train_fps_per_chip": round(best, 1),
         "B": B,
         "vs_round1_421": round(best / 421.0, 2),

@@ -153,6 +153,7 @@ def cmd_train_backbone(args) -> int:
         # uses plain SGD/Adam + GradScaler, no clip_grad_norm)
         TrainConfig(optim=OptimConfig(name=args.optimizer, lr=args.lr,
                                       weight_decay=0.0, grad_clip_norm=None)),
+        use_fused=args.fused,
     )
     state = trainer.init(jax.random.key(42))
     store = CheckpointStore(os.path.join(args.work, "ckpt", "backbone"))
@@ -684,6 +685,9 @@ def main(argv=None) -> int:
                          "from (stage-1 -> stage-2 finetune handoff)")
     sp.add_argument("--midval-batches", type=int, default=2,
                     help="val batches for mid-epoch validation (0 disables)")
+    sp.add_argument("--fused", action="store_true",
+                    help="run the frozen trunk through the fused Pallas "
+                         "train kernels (forward+backward custom VJP)")
     sp.set_defaults(fn=cmd_train_backbone)
 
     sp = sub.add_parser("extract-features")

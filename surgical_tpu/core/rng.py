@@ -30,6 +30,17 @@ def clip_key(key: jax.Array, clip_index: int | jax.Array) -> jax.Array:
     return jax.random.fold_in(key, clip_index)
 
 
+def host_rng(key: jax.Array, *coords: int):
+    """numpy Generator deterministically derived from a JAX key + integer
+    coordinates — for HOST-side shuffles (epoch orderings, samplers) that
+    must follow the same single-key discipline as the device side instead
+    of ad-hoc ``np.random.default_rng(epoch)`` seeding."""
+    import numpy as np
+
+    data = np.asarray(jax.random.key_data(key)).ravel().astype(np.uint32)
+    return np.random.default_rng(list(data) + [c & 0xFFFFFFFF for c in coords])
+
+
 def named_key(key: jax.Array, name: str) -> jax.Array:
     """Stable per-purpose subkey (e.g. 'crop', 'flip', 'jitter')."""
     # Fold a stable hash of the name; zlib.crc32 is deterministic across runs.

@@ -50,11 +50,14 @@ class ClipSampler:
 
     sequence_length: int
     starts: Sequence[int]
+    seed: int = 0
 
     def indices(self, epoch: int | None = None, shuffle: bool = False) -> np.ndarray:
         starts = np.asarray(self.starts)
         if shuffle:
-            starts = np.random.default_rng(epoch or 0).permutation(starts)
+            # (seed, epoch) entropy pair: deterministic, distinct per epoch,
+            # independent of any global RNG state (core/rng.py discipline)
+            starts = np.random.default_rng([self.seed, epoch or 0]).permutation(starts)
         return (starts[:, None] + np.arange(self.sequence_length)[None, :]).reshape(-1)
 
 
@@ -170,7 +173,12 @@ class ClipDataset:
 
     def _load_seg(self, path: str) -> np.ndarray:
         if self.noise_segmap:
-            rng = np.random.default_rng(abs(hash(path)) % (2**32))
+            import zlib
+
+            # crc32, NOT hash(): str hashing is salted per process
+            # (PYTHONHASHSEED), which would make the noise ablation
+            # irreproducible across runs/workers
+            rng = np.random.default_rng(zlib.crc32(path.encode()))
             return rng.integers(0, 255, (self.resize, self.resize, 1), dtype=np.uint8)
         seg_path = path.replace(*self.segmap_sub).replace(".jpg", ".png")
         if not os.path.exists(seg_path):

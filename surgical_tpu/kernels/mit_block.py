@@ -439,6 +439,523 @@ def fused_mit_block_packed2(
     return out.reshape(P, N, 2, C).transpose(0, 2, 1, 3).reshape(B, N, C)
 
 
+# -- training path: fused forward + fused backward (custom VJP) ---------------
+#
+# The backbone training recipe freezes the whole MiT trunk (reference
+# train_evp.py:379-382 — only head/prompt-generator/flow-encoder/cross-attn
+# train), so the block kernels need INPUT gradients only: dx, dxln, dk, dv.
+# Weight cotangents are returned as zeros and must never be consumed — the
+# trainer guarantees this by differentiating only the trainable parameter
+# subtree (train/backbone.py::partition_params).
+#
+# Forward adds per-sample stochastic-depth multipliers m1/m2 (DropPath,
+# mix_transformer_evp.py Block: residual branches scaled by keep-mask/keep):
+#   x1 = x + m1 * attn(LN1(x));  y = x1 + m2 * mlp(LN2(x1))
+# Backward recomputes the forward intermediates in-VMEM from the saved
+# kernel inputs (flash-style: no [B, N, hidden] activations ever touch HBM)
+# and emits all four input gradients in one pass.
+
+
+def _gelu_tanh_grad(x32: jax.Array) -> jax.Array:
+    """d/dx of tanh-approx GELU (the forward kernel's nonlinearity)."""
+    c = np.sqrt(2.0 / np.pi).astype(np.float32)
+    inner = c * (x32 + 0.044715 * x32 * x32 * x32)
+    t = jnp.tanh(inner)
+    dinner = c * (1.0 + 3 * 0.044715 * x32 * x32)
+    return 0.5 * (1.0 + t) + 0.5 * x32 * (1.0 - t * t) * dinner
+
+
+def _dwconv3x3_T(g, w_taps, H, W, N):
+    """Transpose (input-gradient) of ``_dwconv3x3`` on [bt*N, C] tokens.
+
+    Forward: acc[t] += valid_k(t) * h[t + off_k] * w_k, so
+    dh[u] = sum_k valid_k(u - off_k) * g[u - off_k] * w_k — the classic
+    conv-transpose-is-a-flipped-conv identity, written in the SAME structure
+    as the forward: shift the SHARED g by the negated offset, then mask and
+    scale in one fused elementwise chain. (Masking a per-tap copy of g
+    BEFORE shifting materializes 9 [M, C] temporaries — measured +10 MB of
+    VMEM stack at stage-1 sizes — because the concat-shift of a computed
+    array defeats Mosaic's elementwise fusion.) The mask condition at
+    destination u is (row(u) - dy, col(u) - dx) in-grid: exactly the source
+    positions that fired the tap in the forward. Returns g.dtype.
+    """
+    M, C = g.shape
+    idx = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0) % N
+    row = idx // W
+    col = idx % W
+    acc = jnp.zeros((M, C), jnp.float32)
+    k = 0
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            off = -(dy * W + dx)  # shifted[t] = g[t + off] = g[u - off_k]
+            if off > 0:
+                shifted = jnp.concatenate([g[off:], jnp.zeros((off, C), g.dtype)], 0)
+            elif off < 0:
+                shifted = jnp.concatenate([jnp.zeros((-off, C), g.dtype), g[:off]], 0)
+            else:
+                shifted = g
+            valid = (
+                (row - dy >= 0) & (row - dy < H) & (col - dx >= 0) & (col - dx < W)
+            )
+            acc = acc + jnp.where(valid, shifted, 0).astype(jnp.float32) * w_taps[k][None, :]
+            k += 1
+    return acc.astype(g.dtype)
+
+
+def _block_train_fwd_kernel(
+    x_ref, xln_ref, k_ref, v_ref, m1_ref, m2_ref,
+    wq_ref, bq_ref, wo_ref, bo_ref,
+    ln2s_ref, ln2b_ref,
+    w1_ref, b1_ref, wdw_ref, bdw_ref, w2_ref, b2_ref,
+    y_ref, x1_ref=None,
+    *, heads: int, H: int, W: int, bt: int,
+):
+    """_block_kernel + per-sample DropPath branch multipliers m1/m2
+    ([bt*N, 1] f32, values in {0, 1/keep}).
+
+    When ``x1_ref`` is present (the VJP forward), the post-attention
+    residual x1 is also written out: the backward pass then splits into an
+    MLP kernel (x1 -> dx1) and an attention kernel (dx1 -> dxln/dk/dv),
+    each with about half the VMEM working set of a monolithic backward."""
+    N = H * W
+    C = x_ref.shape[-1]
+    Nkv = k_ref.shape[1] // bt
+    hd = C // heads
+    scale = 1.0 / np.sqrt(hd)
+
+    x = x_ref[0]
+    xln = xln_ref[0]
+    kk = k_ref[0]
+    vv = v_ref[0]
+    m1 = m1_ref[0]
+    m2 = m2_ref[0]
+
+    q = (
+        jnp.dot(xln, wq_ref[:], preferred_element_type=jnp.float32)
+        + bq_ref[0][None, :]
+    ).astype(x.dtype)
+
+    ctx_rows = []
+    for b in range(bt):
+        qb = q[b * N : (b + 1) * N]
+        kb = kk[b * Nkv : (b + 1) * Nkv]
+        vb = vv[b * Nkv : (b + 1) * Nkv]
+        ctx_heads = []
+        for h in range(heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            scores = (
+                jax.lax.dot_general(
+                    qb[:, sl], kb[:, sl],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+            )
+            probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+            ctx_heads.append(
+                jnp.dot(probs, vb[:, sl], preferred_element_type=jnp.float32)
+            )
+        ctx_rows.append(jnp.concatenate(ctx_heads, axis=-1))
+    ctx = (
+        jnp.concatenate(ctx_rows, axis=0) if bt > 1 else ctx_rows[0]
+    ).astype(x.dtype)
+
+    attn_out = (
+        jnp.dot(ctx, wo_ref[:], preferred_element_type=jnp.float32)
+        + bo_ref[0][None, :]
+    )
+    x = (x.astype(jnp.float32) + m1 * attn_out).astype(x.dtype)
+    if x1_ref is not None:
+        x1_ref[0] = x
+
+    h2 = _layernorm(x, ln2s_ref[0][None, :], ln2b_ref[0][None, :])
+    h2 = (
+        jnp.dot(h2, w1_ref[:], preferred_element_type=jnp.float32)
+        + b1_ref[0][None, :]
+    ).astype(x.dtype)
+    h2 = _dwconv3x3(h2, wdw_ref[:], bdw_ref[0][None, :], H, W, N)
+    h2 = jax.nn.gelu(h2.astype(jnp.float32), approximate=True)
+    mlp_out = (
+        jnp.dot(h2.astype(x.dtype), w2_ref[:], preferred_element_type=jnp.float32)
+        + b2_ref[0][None, :]
+    )
+    y_ref[0] = (x.astype(jnp.float32) + m2 * mlp_out).astype(y_ref.dtype)
+
+
+def _mlp_bwd_kernel(
+    h2ln_ref, dmlp_ref,
+    w1_ref, b1_ref, wdw_ref, bdw_ref, w2_ref,
+    dh2ln_ref,
+    *, H: int, W: int, bt: int,
+):
+    """MLP-half backward, ONE hidden chunk per grid step.
+
+    Grid is (batch-tiles, hidden/ch); the chunk axis is a REAL grid
+    dimension because Mosaic does not reuse stack slots across an unrolled
+    in-kernel chunk loop — measured: an in-kernel loop holds ~7 f32
+    [M, hidden]-equivalents regardless of chunk width (22.3 MB at stage 1),
+    while per-grid-step temporaries are one chunk's worth. The dh2ln output
+    block has a constant index over the chunk axis, so it stays resident in
+    VMEM and accumulates across steps (standard TPU reduction pattern).
+
+    fc1 -> dwconv -> GELU' -> fc2^T -> dwconv^T -> fc1^T per chunk; the
+    LayerNorm2 statistics and backward are elementwise and run in XLA
+    outside (fused into the surrounding ops).
+    """
+    N = H * W
+    j = pl.program_id(1)
+    h2ln = h2ln_ref[0]
+    dmlp = dmlp_ref[0]
+    a1c = (
+        jnp.dot(h2ln, w1_ref[:], preferred_element_type=jnp.float32)
+        + b1_ref[0][None, :]
+    ).astype(h2ln.dtype)
+    hdc = _dwconv3x3(a1c, wdw_ref[:], bdw_ref[0][None, :], H, W, N)
+    gp = _gelu_tanh_grad(hdc.astype(jnp.float32))
+    # dg_c = dmlp @ W2_c^T  (contract over C)
+    dgc = jax.lax.dot_general(
+        dmlp, w2_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dhdc = (dgc * gp).astype(h2ln.dtype)
+    da1c = _dwconv3x3_T(dhdc, wdw_ref[:], H, W, N)  # [M, ch], h2ln.dtype
+    contrib = jax.lax.dot_general(
+        da1c, w1_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == 0)
+    def _init():
+        dh2ln_ref[0] = contrib
+
+    @pl.when(j > 0)
+    def _acc():
+        dh2ln_ref[0] += contrib
+
+
+def _attn_bwd_kernel(
+    xln_ref, k_ref, v_ref, dx1_ref, m1_ref,
+    wq_ref, bq_ref, wo_ref,
+    dxln_ref, dk_ref, dv_ref,
+    *, heads: int, H: int, W: int, bt: int,
+):
+    """Attention-half backward: dx1 -> dxln/dk/dv.
+
+    Recomputes q and the per-image/per-head probabilities (Nkv is the tiny
+    SR-reduced length), then runs the softmax/context backward per image."""
+    N = H * W
+    C = xln_ref.shape[-1]
+    Nkv = k_ref.shape[1] // bt
+    hd = C // heads
+    scale = 1.0 / np.sqrt(hd)
+
+    xln = xln_ref[0]
+    kk = k_ref[0]
+    vv = v_ref[0]
+    m1 = m1_ref[0]
+
+    q = (
+        jnp.dot(xln, wq_ref[:], preferred_element_type=jnp.float32)
+        + bq_ref[0][None, :]
+    ).astype(xln.dtype)
+
+    dattn = (dx1_ref[0].astype(jnp.float32) * m1).astype(xln.dtype)
+    # dctx = dattn @ Wo^T
+    dctx = jax.lax.dot_general(
+        dattn, wo_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(xln.dtype)
+
+    dq_rows, dk_rows, dv_rows = [], [], []
+    for b in range(bt):
+        qb = q[b * N : (b + 1) * N]
+        kb = kk[b * Nkv : (b + 1) * Nkv]
+        vb = vv[b * Nkv : (b + 1) * Nkv]
+        dctx_b = dctx[b * N : (b + 1) * N]
+        dq_heads, dk_heads, dv_heads = [], [], []
+        for h in range(heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            scores = (
+                jax.lax.dot_general(
+                    qb[:, sl], kb[:, sl],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+            )
+            P = jax.nn.softmax(scores, axis=-1)  # f32 [N, Nkv]
+            dctx_h = dctx_b[:, sl]
+            # dP = dctx_h @ v_h^T
+            dP = jax.lax.dot_general(
+                dctx_h, vb[:, sl],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # dv_h = P^T @ dctx_h (contract over N)
+            dv_heads.append(jax.lax.dot_general(
+                P.astype(xln.dtype), dctx_h,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+            dS = P * (dP - jnp.sum(dP * P, axis=-1, keepdims=True))
+            dS = (dS * scale).astype(xln.dtype)
+            dq_heads.append(jnp.dot(dS, kb[:, sl],
+                                    preferred_element_type=jnp.float32))
+            dk_heads.append(jax.lax.dot_general(
+                dS, qb[:, sl],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+        dq_rows.append(jnp.concatenate(dq_heads, axis=-1))
+        dk_rows.append(jnp.concatenate(dk_heads, axis=-1))
+        dv_rows.append(jnp.concatenate(dv_heads, axis=-1))
+    dq = (jnp.concatenate(dq_rows, axis=0) if bt > 1 else dq_rows[0]).astype(xln.dtype)
+
+    # dxln = dq @ Wq^T
+    dxln = jax.lax.dot_general(
+        dq, wq_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    dxln_ref[0] = dxln.astype(dxln_ref.dtype)
+    dk_ref[0] = (
+        jnp.concatenate(dk_rows, axis=0) if bt > 1 else dk_rows[0]
+    ).astype(dk_ref.dtype)
+    dv_ref[0] = (
+        jnp.concatenate(dv_rows, axis=0) if bt > 1 else dv_rows[0]
+    ).astype(dv_ref.dtype)
+
+
+def _bspec_maker():
+    def bspec(shape, batched=True):
+        if batched:
+            return pl.BlockSpec((1, *shape), lambda i: (i, *([0] * len(shape))),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec(shape, lambda i: tuple([0] * len(shape)),
+                            memory_space=pltpu.VMEM)
+    return bspec
+
+
+def _flatten_train_args(x, xln, k, v, m1, m2, bt):
+    B, N, C = x.shape
+    Nkv = k.shape[1]
+    G = B // bt
+    xf = x.reshape(G, bt * N, C)
+    xlnf = xln.reshape(G, bt * N, C)
+    kf = k.reshape(G, bt * Nkv, C)
+    vf = v.reshape(G, bt * Nkv, C)
+    # per-sample multipliers -> per-token rows [G, bt*N, 1]
+    m1f = jnp.repeat(m1.astype(jnp.float32), N).reshape(G, bt * N, 1)
+    m2f = jnp.repeat(m2.astype(jnp.float32), N).reshape(G, bt * N, 1)
+    return xf, xlnf, kf, vf, m1f, m2f
+
+
+def _mlp_chunk(M: int, hidden: int) -> int:
+    """Hidden-chunk width for the MLP backward grid: a power-of-two divisor
+    of ``hidden`` keeping one grid step's ~7 f32 [M, ch] temporaries under
+    ~6 MB of VMEM stack (measured: straight-line kernel code frees nothing,
+    so the whole chunk's temp chain is resident at once)."""
+    ch = 128
+    while (ch * 2 <= hidden and hidden % (ch * 2) == 0
+           and M * (ch * 2) * 28 <= (6 << 20)):
+        ch *= 2
+    while hidden % ch != 0 and ch > 1:
+        ch //= 2
+    return max(ch, 1)
+
+
+row_ = lambda w: jnp.asarray(w).reshape(1, -1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _fused_block_train(heads, H, W, bt, interpret, x, xln, k, v, m1, m2, weights):
+    y, _ = _run_train_fwd(heads, H, W, bt, interpret, x, xln, k, v, m1, m2,
+                          weights, save_x1=False)
+    return y
+
+
+def _run_train_fwd(heads, H, W, bt, interpret, x, xln, k, v, m1, m2, weights,
+                   save_x1: bool):
+    B, N, C = x.shape
+    Nkv = k.shape[1]
+    hidden = weights["w1"].shape[1]
+    xf, xlnf, kf, vf, m1f, m2f = _flatten_train_args(x, xln, k, v, m1, m2, bt)
+    bspec = _bspec_maker()
+    in_specs = [
+        bspec((bt * N, C)), bspec((bt * N, C)),
+        bspec((bt * Nkv, C)), bspec((bt * Nkv, C)),
+        bspec((bt * N, 1)), bspec((bt * N, 1)),
+        bspec((C, C), False), bspec((1, C), False),
+        bspec((C, C), False), bspec((1, C), False),
+        bspec((1, C), False), bspec((1, C), False),
+        bspec((C, hidden), False), bspec((1, hidden), False),
+        bspec((9, hidden), False), bspec((1, hidden), False),
+        bspec((hidden, C), False), bspec((1, C), False),
+    ]
+    wargs = [
+        weights["wq"], row_(weights["bq"]), weights["wo"], row_(weights["bo"]),
+        row_(weights["ln2_scale"]), row_(weights["ln2_bias"]),
+        weights["w1"], row_(weights["b1"]),
+        weights["wdw"], row_(weights["bdw"]),
+        weights["w2"], row_(weights["b2"]),
+    ]
+    out_specs = bspec((bt * N, C))
+    out_shape = jax.ShapeDtypeStruct((B // bt, bt * N, C), x.dtype)
+    if save_x1:
+        out_specs = (out_specs, bspec((bt * N, C)))
+        out_shape = (out_shape, jax.ShapeDtypeStruct((B // bt, bt * N, C), x.dtype))
+    out = pl.pallas_call(
+        functools.partial(_block_train_fwd_kernel, heads=heads, H=H, W=W, bt=bt),
+        grid=(B // bt,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(xf, xlnf, kf, vf, m1f, m2f, *wargs)
+    if save_x1:
+        y, x1 = out
+        return y.reshape(B, N, C), x1.reshape(B, N, C)
+    return out.reshape(B, N, C), None
+
+
+def _fused_block_train_fwd(heads, H, W, bt, interpret, x, xln, k, v, m1, m2, weights):
+    y, x1 = _run_train_fwd(heads, H, W, bt, interpret, x, xln, k, v, m1, m2,
+                           weights, save_x1=True)
+    return y, (x1, xln, k, v, m1, m2, weights)
+
+
+def _fused_block_train_bwd(heads, H, W, bt, interpret, res, dy):
+    x1, xln, k, v, m1, m2, weights = res
+    B, N, C = x1.shape
+    Nkv = k.shape[1]
+    hidden = weights["w1"].shape[1]
+    ch = _mlp_chunk(bt * N, hidden)
+    bspec = _bspec_maker()
+
+    G = B // bt
+    x1f = x1.reshape(G, bt * N, C)
+    dyf = dy.reshape(G, bt * N, C)
+    m1f = jnp.repeat(m1.astype(jnp.float32), N).reshape(G, bt * N, 1)
+    m2f = jnp.repeat(m2.astype(jnp.float32), N).reshape(G, bt * N, 1)
+
+    # ---- kernel 1: MLP backward, x1 + dy -> dx1 (== dx) -------------------
+    # LayerNorm2 statistics + backward are elementwise: XLA computes (and
+    # fuses) them around the chunked Pallas matmul/dwconv walk.
+    eps = 1e-6
+    x32 = x1f.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    hhat = (x32 - mu) * inv
+    gamma = weights["ln2_scale"].astype(jnp.float32)[None, None, :]
+    h2ln = (hhat * gamma + weights["ln2_bias"][None, None, :]).astype(x1.dtype)
+    dy32 = dyf.astype(jnp.float32)
+    dmlp = (dy32 * m2f).astype(x1.dtype)
+
+    K = hidden // ch
+    M = bt * N
+    dh2ln = pl.pallas_call(
+        functools.partial(_mlp_bwd_kernel, H=H, W=W, bt=bt),
+        grid=(G, K),
+        in_specs=[
+            pl.BlockSpec((1, M, C), lambda g, j: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, C), lambda g, j: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, ch), lambda g, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ch), lambda g, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, ch), lambda g, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ch), lambda g, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ch, C), lambda g, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, M, C), lambda g, j: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, M, C), jnp.float32),
+        interpret=interpret,
+    )(
+        h2ln, dmlp,
+        weights["w1"], row_(weights["b1"]),
+        weights["wdw"], row_(weights["bdw"]),
+        weights["w2"],
+    )
+
+    dhhat = dh2ln * gamma
+    mh = jnp.mean(dhhat, axis=-1, keepdims=True)
+    mh2 = jnp.mean(dhhat * hhat, axis=-1, keepdims=True)
+    dx1 = (dy32 + inv * (dhhat - mh - hhat * mh2)).astype(x1.dtype)
+
+    # ---- kernel 2: attention backward, dx1 -> dxln/dk/dv ------------------
+    xlnf = xln.reshape(G, bt * N, C)
+    kf = k.reshape(G, bt * Nkv, C)
+    vf = v.reshape(G, bt * Nkv, C)
+    dxln, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, heads=heads, H=H, W=W, bt=bt),
+        grid=(G,),
+        in_specs=[
+            bspec((bt * N, C)), bspec((bt * Nkv, C)), bspec((bt * Nkv, C)),
+            bspec((bt * N, C)), bspec((bt * N, 1)),
+            bspec((C, C), False), bspec((1, C), False),
+            bspec((C, C), False),
+        ],
+        out_specs=(
+            bspec((bt * N, C)), bspec((bt * Nkv, C)), bspec((bt * Nkv, C)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((G, bt * N, C), xln.dtype),
+            jax.ShapeDtypeStruct((G, bt * Nkv, C), k.dtype),
+            jax.ShapeDtypeStruct((G, bt * Nkv, C), v.dtype),
+        ),
+        interpret=interpret,
+    )(
+        xlnf, kf, vf, dx1, m1f,
+        weights["wq"], row_(weights["bq"]), weights["wo"],
+    )
+
+    # weight/mask cotangents are structurally zero: the trainer freezes the
+    # trunk (never differentiates block weights) and the DropPath masks are
+    # non-differentiable data
+    return (
+        dx1.reshape(B, N, C), dxln.reshape(B, N, C),
+        dk.reshape(B, Nkv, C), dv.reshape(B, Nkv, C),
+        jnp.zeros_like(m1), jnp.zeros_like(m2),
+        jax.tree.map(jnp.zeros_like, weights),
+    )
+
+
+_fused_block_train.defvjp(_fused_block_train_fwd, _fused_block_train_bwd)
+
+
+def fused_mit_block_train(
+    x: jax.Array,      # [B, N, C] residual input
+    xln: jax.Array,    # [B, N, C] = LN1(x)
+    k: jax.Array,      # [B, Nkv, C]
+    v: jax.Array,      # [B, Nkv, C]
+    weights: dict[str, Any],
+    m1: jax.Array,     # [B] DropPath multiplier, attention branch
+    m2: jax.Array,     # [B] DropPath multiplier, MLP branch
+    *,
+    heads: int,
+    H: int,
+    W: int,
+    bt: int = 1,
+    interpret: bool = False,
+) -> jax.Array:
+    """Differentiable fused MiT block for FROZEN-trunk training.
+
+    Gradients flow to x/xln/k/v (and through them to the prompt adds and
+    LN1/SR/kv projections outside the kernel). Block weight cotangents are
+    ZERO by construction — callers must not differentiate w.r.t. ``weights``
+    (the reference recipe never does: train_evp.py:379-382).
+    """
+    assert x.shape[0] % bt == 0, (x.shape, bt)
+    return _fused_block_train(heads, H, W, bt, interpret,
+                              x, xln, k, v, m1, m2, weights)
+
+
 def block_weights_from_params(p: dict) -> dict:
     """Extract fused-kernel weights from a MiTBlock param subtree
     (models/mit_evp.py naming)."""

@@ -45,10 +45,13 @@ def _dense(x, p):
 
 
 def _conv(x, p, stride, padding):
+    # NO preferred_element_type: the conv transpose rule rejects a f32
+    # cotangent against a bf16 kernel (the train path differentiates this),
+    # and the TPU conv accumulates in f32 internally regardless — the
+    # result is rounded once to x.dtype either way.
     y = jax.lax.conv_general_dilated(
         x, p["kernel"].astype(x.dtype), (stride, stride), padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
     if "bias" in p:
         y = y + p["bias"]

@@ -133,7 +133,8 @@ class BackboneTrainer:
     augmentation, frozen-trunk bf16 train step, mid-epoch validation every
     ``val_every`` steps (train_evp.py:526-564), per-epoch checkpointing."""
 
-    def __init__(self, model, cfg, aug_cfg=None, mesh=None, val_every: int = 15):
+    def __init__(self, model, cfg, aug_cfg=None, mesh=None, val_every: int = 15,
+                 use_fused: bool = False):
         from surgical_tpu.core.config import CHOLEC80_MEAN, CHOLEC80_STD
         from surgical_tpu.data.transforms import AugConfig
 
@@ -142,6 +143,12 @@ class BackboneTrainer:
         self.aug_cfg = aug_cfg or AugConfig()
         self.mesh = mesh if mesh is not None else meshlib.make_mesh()
         self.val_every = val_every
+        # Route the frozen trunk through the fused Pallas train kernels
+        # (forward AND backward — kernels/mit_block.fused_mit_block_train).
+        # Valid ONLY under the reference's frozen-trunk recipe: the fused
+        # blocks return zero weight cotangents, and partition_params
+        # guarantees those are never consumed.
+        self.use_fused = use_fused
         self._mean = jnp.asarray(CHOLEC80_MEAN, jnp.float32) * 255.0
         self._inv_std = 1.0 / (jnp.asarray(CHOLEC80_STD, jnp.float32) * 255.0)
         self._tx = None
@@ -186,12 +193,23 @@ class BackboneTrainer:
 
         def loss_fn(train):
             p = combine_params(train, frozen, treedef)
-            (y, y_ant), updates = self.model.apply(
-                {"params": p, "batch_stats": batch_stats},
-                img, seg, flow, train=True,
-                rngs={"dropout": jax.random.fold_in(rng, 1)},
-                mutable=["batch_stats"],
-            )
+            if self.use_fused:
+                from surgical_tpu.models.mit_train import fused_train_forward
+
+                y, y_ant, new_bs = fused_train_forward(
+                    p, batch_stats, img, seg, flow,
+                    jax.random.fold_in(rng, 1),
+                    self.model.cfg, self.model.head_cfg,
+                    compute_dtype=self.model.compute_dtype,
+                )
+                updates = {"batch_stats": new_bs}
+            else:
+                (y, y_ant), updates = self.model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    img, seg, flow, train=True,
+                    rngs={"dropout": jax.random.fold_in(rng, 1)},
+                    mutable=["batch_stats"],
+                )
             y = y.astype(jnp.float32)
             ce = weighted_cross_entropy(y, labels, reduction="sum")
             reg = smooth_l1(y_ant.astype(jnp.float32), ant, reduction="sum")

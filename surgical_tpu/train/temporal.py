@@ -155,7 +155,9 @@ class TemporalTrainer:
     ):
         order = list(range(ds.num_videos))
         if shuffle:
-            np.random.default_rng(epoch).shuffle(order)
+            from surgical_tpu.core.rng import host_rng
+
+            host_rng(rng, epoch).shuffle(order)
         total_loss = total_clc = total_ant = 0.0
         total_correct = 0
         t0 = time.time()

@@ -119,3 +119,85 @@ def test_lane_packed2_matches_unpacked(rng):
                                   H=H, W=W, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+# -- training kernel: custom VJP ------------------------------------------------
+
+
+def _train_oracle(w, m1, m2, heads, H, W):
+    """Pure-jnp oracle of the fused train block (tanh GELU, f32)."""
+    C = w["wq"].shape[0]
+    hd = C // heads
+    scale = hd ** -0.5
+
+    def dwconv(h, B, N):
+        Ch = h.shape[-1]
+        g = h.reshape(B, H, W, Ch)
+        ker = w["wdw"].reshape(3, 3, 1, Ch)
+        out = jax.lax.conv_general_dilated(
+            g, ker, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=Ch,
+        )
+        return (out + w["bdw"]).reshape(B, N, Ch)
+
+    def fwd(x, xln, k, v):
+        B, N, _ = x.shape
+        Nkv = k.shape[1]
+        q = (xln @ w["wq"] + w["bq"]).reshape(B, N, heads, hd)
+        kk = k.reshape(B, Nkv, heads, hd)
+        vv = v.reshape(B, Nkv, heads, hd)
+        s = jnp.einsum("bnhd,bmhd->bhnm", q, kk) * scale
+        p = jax.nn.softmax(s, -1)
+        ctx = jnp.einsum("bhnm,bmhd->bnhd", p, vv).reshape(B, N, C)
+        x1 = x + m1[:, None, None] * (ctx @ w["wo"] + w["bo"])
+        mu = x1.mean(-1, keepdims=True)
+        var = ((x1 - mu) ** 2).mean(-1, keepdims=True)
+        h2 = (x1 - mu) * jax.lax.rsqrt(var + 1e-6) * w["ln2_scale"] + w["ln2_bias"]
+        a1 = h2 @ w["w1"] + w["b1"]
+        g = jax.nn.gelu(dwconv(a1, B, N), approximate=True)
+        return x1 + m2[:, None, None] * (g @ w["w2"] + w["b2"])
+
+    return fwd
+
+
+@pytest.mark.parametrize("heads,bt", [(1, 1), (2, 2)])
+def test_fused_block_train_vjp_matches_autodiff(rng, heads, bt):
+    """Forward AND all four input gradients of the train kernel == autodiff
+    of a jnp oracle, including zeroed DropPath branches."""
+    from surgical_tpu.kernels.mit_block import fused_mit_block_train
+
+    B, H, W, C, sr = 4, 8, 8, 64, 4
+    N, Nkv = H * W, (H // sr) * (W // sr)
+    hidden = 4 * C
+    r = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.1)
+    w = {
+        "wq": r(C, C), "bq": r(C), "wo": r(C, C), "bo": r(C),
+        "ln2_scale": 1.0 + 0.1 * r(C), "ln2_bias": r(C),
+        "w1": r(C, hidden), "b1": r(hidden),
+        "wdw": r(9, hidden), "bdw": r(hidden),
+        "w2": r(hidden, C), "b2": r(C),
+    }
+    x, xln = r(B, N, C) * 10, r(B, N, C) * 10
+    k, v = r(B, Nkv, C) * 10, r(B, Nkv, C) * 10
+    # one sample with a dropped attention branch, one with a dropped MLP branch
+    m1 = jnp.asarray([1.25, 0.0, 1.25, 1.25], jnp.float32)
+    m2 = jnp.asarray([1.25, 1.25, 0.0, 1.25], jnp.float32)
+
+    oracle = _train_oracle(w, m1, m2, heads, H, W)
+    fused = lambda x, xln, k, v: fused_mit_block_train(
+        x, xln, k, v, w, m1, m2, heads=heads, H=H, W=W, bt=bt, interpret=True)
+
+    np.testing.assert_allclose(
+        np.asarray(fused(x, xln, k, v)), np.asarray(oracle(x, xln, k, v)),
+        rtol=1e-4, atol=1e-4)
+
+    co = r(B, N, C)
+    g_ref = jax.grad(lambda *a: jnp.sum(oracle(*a) * co), argnums=(0, 1, 2, 3))(
+        x, xln, k, v)
+    g_fus = jax.grad(lambda *a: jnp.sum(fused(*a) * co), argnums=(0, 1, 2, 3))(
+        x, xln, k, v)
+    for name, a, b in zip(("dx", "dxln", "dk", "dv"), g_ref, g_fus):
+        scale = float(jnp.abs(a).max()) + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale,
+            rtol=1e-4, atol=1e-5, err_msg=name)
