@@ -220,16 +220,21 @@ def batched_rotate_nearest(
     degrees: int,
     rotate_vectors: bool = False,
 ) -> jax.Array:
-    """Per-image integer-angle rotation via precomputed index tables — ONE
-    batched gather instead of a vmapped dynamic gather (30x fewer ms on TPU;
-    gathers with per-element computed indices are pathologically slow)."""
+    """Per-image integer-angle rotation via precomputed index tables, as
+    2*degrees+1 STATIC-index takes + a per-angle select. A single batched
+    take_along_axis with per-image tables still pays the computed-index
+    gather path (~43 ms for [88, 224, 224, 3] on v5e); static-index takes
+    ride the copy path, so rotating the batch once per angle and selecting
+    measures 9.6 ms for the same shape — and bit-identical output."""
     B, S = x.shape[0], x.shape[1]
     tables, valids = _rotation_tables(S, degrees)
-    idx = jnp.asarray(tables)[angle_idx]  # [B, S*S]
-    v = jnp.asarray(valids)[angle_idx]
     xf = x.reshape(B, S * S, -1)
-    out = jnp.take_along_axis(xf, idx[:, :, None], axis=1)
-    out = jnp.where(v[:, :, None], out, 0.0).reshape(x.shape)
+    out = jnp.zeros_like(xf)
+    for a in range(2 * degrees + 1):
+        ra = jnp.take(xf, jnp.asarray(tables[a]), axis=1)
+        ra = jnp.where(jnp.asarray(valids[a])[None, :, None], ra, 0.0)
+        out = jnp.where((angle_idx == a)[:, None, None], ra, out)
+    out = out.reshape(x.shape)
     if rotate_vectors:
         rad = (angle_idx.astype(jnp.float32) - degrees) * (np.pi / 180.0)
         cos = jnp.cos(rad)[:, None, None]
