@@ -81,13 +81,24 @@ def _block_kernel(
     w1_ref, b1_ref, wdw_ref, bdw_ref, w2_ref, b2_ref,
     # output
     y_ref,
-    *, heads: int, H: int, W: int, bt: int,
+    *, heads: int, H: int, W: int, bt: int, mlp_chunk: int = 0,
+    ln1_in_kernel: bool = False,
 ):
     """One FLATTENED batch tile per grid step: x/xln arrive [bt*N, C] so the
     projections and the MLP run as single large matmuls (M = bt*N keeps the
     MXU fed; per-image M=196 at stage 3 measured only ~23% utilization).
     Only the attention core (scores/softmax/context) loops per image — its
-    keys must not mix images."""
+    keys must not mix images.
+
+    ``mlp_chunk`` > 0 runs the MLP tail (fc1 -> dwconv -> GELU -> fc2) per
+    hidden-channel chunk so larger batch tiles fit VMEM (fewer grid steps —
+    each step carries ~21 us of pipeline overhead).
+
+    ``ln1_in_kernel`` reinterprets the second operand as the LN1 scale/bias
+    packed into a [2, C] array instead of a precomputed [bt*N, C] LN1(x):
+    recomputing LN1 on-VMEM drops one activation-sized block read per step
+    (~30% of the kernel's HBM traffic; the XLA-side xln is still produced
+    once for the k/v spatial-reduction path)."""
     N = H * W
     C = x_ref.shape[-1]
     Nkv = k_ref.shape[1] // bt
@@ -95,7 +106,10 @@ def _block_kernel(
     scale = 1.0 / np.sqrt(hd)
 
     x = x_ref[0]          # [bt*N, C]
-    xln = xln_ref[0]
+    if ln1_in_kernel:
+        xln = _layernorm(x, xln_ref[0][None, :], xln_ref[1][None, :])
+    else:
+        xln = xln_ref[0]
     kk = k_ref[0]
     vv = v_ref[0]
 
@@ -135,29 +149,49 @@ def _block_kernel(
     )
     x = (x.astype(jnp.float32) + attn_out).astype(x.dtype)  # +residual
 
-    h2 = _layernorm(x, ln2s_ref[0][None, :], ln2b_ref[0][None, :])
-    h2 = (
-        jnp.dot(h2, w1_ref[:], preferred_element_type=jnp.float32)
-        + b1_ref[0][None, :]
-    ).astype(x.dtype)
-    h2 = _dwconv3x3(h2, wdw_ref[:], bdw_ref[0][None, :], H, W, N)
-    # tanh-approx GELU: exact erf does not lower in Pallas TPU (Mosaic
-    # has no erfc); max deviation ~1e-3 on unit-scale activations
-    h2 = jax.nn.gelu(h2.astype(jnp.float32), approximate=True)
-    mlp_out = (
-        jnp.dot(h2.astype(x.dtype), w2_ref[:], preferred_element_type=jnp.float32)
-        + b2_ref[0][None, :]
-    )
+    h2ln = _layernorm(x, ln2s_ref[0][None, :], ln2b_ref[0][None, :])
+    hidden = w1_ref.shape[-1]
+    if mlp_chunk and mlp_chunk < hidden:
+        b1_row = b1_ref[0][None, :]
+        bdw_row = bdw_ref[0][None, :]
+        mlp_out = b2_ref[0][None, :].astype(jnp.float32)
+        for c0 in range(0, hidden, mlp_chunk):
+            hc = (
+                jnp.dot(h2ln, w1_ref[:, c0 : c0 + mlp_chunk],
+                        preferred_element_type=jnp.float32)
+                + b1_row[:, c0 : c0 + mlp_chunk]
+            ).astype(x.dtype)
+            hc = _dwconv3x3(hc, wdw_ref[:, c0 : c0 + mlp_chunk],
+                            bdw_row[:, c0 : c0 + mlp_chunk], H, W, N)
+            hc = jax.nn.gelu(hc.astype(jnp.float32), approximate=True)
+            mlp_out = mlp_out + jnp.dot(
+                hc.astype(x.dtype), w2_ref[c0 : c0 + mlp_chunk],
+                preferred_element_type=jnp.float32,
+            )
+    else:
+        h2 = (
+            jnp.dot(h2ln, w1_ref[:], preferred_element_type=jnp.float32)
+            + b1_ref[0][None, :]
+        ).astype(x.dtype)
+        h2 = _dwconv3x3(h2, wdw_ref[:], bdw_ref[0][None, :], H, W, N)
+        # tanh-approx GELU: exact erf does not lower in Pallas TPU (Mosaic
+        # has no erfc); max deviation ~1e-3 on unit-scale activations
+        h2 = jax.nn.gelu(h2.astype(jnp.float32), approximate=True)
+        mlp_out = (
+            jnp.dot(h2.astype(x.dtype), w2_ref[:],
+                    preferred_element_type=jnp.float32)
+            + b2_ref[0][None, :]
+        )
     y_ref[0] = (x.astype(jnp.float32) + mlp_out).astype(y_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("heads", "H", "W", "bt", "interpret"),
+    static_argnames=("heads", "H", "W", "bt", "mlp_chunk", "interpret"),
 )
 def fused_mit_block(
     x: jax.Array,      # [B, N, C] residual input
-    xln: jax.Array,    # [B, N, C] = LN1(x)
+    xln: jax.Array | None,  # [B, N, C] = LN1(x); None -> LN1 computed in-kernel
     k: jax.Array,      # [B, Nkv, C]
     v: jax.Array,      # [B, Nkv, C]
     weights: dict[str, Any],
@@ -166,18 +200,28 @@ def fused_mit_block(
     H: int,
     W: int,
     bt: int = 1,
+    mlp_chunk: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
+    """Fused MiT block. Pass ``xln=None`` (requires ``weights['ln1_scale']``
+    / ``['ln1_bias']``) to recompute LN1 inside the kernel — saves one
+    activation-sized HBM read per grid step."""
     B, N, C = x.shape
     Nkv = k.shape[1]
     hidden = weights["w1"].shape[1]
     assert B % bt == 0, (B, bt)
     grid = (B // bt,)
+    ln1_in_kernel = xln is None
 
     # flatten each bt-image tile into one [bt*N, C] row block (an HBM
     # bitcast, free) so the kernel's matmuls see M = bt*N rows
     xf = x.reshape(B // bt, bt * N, C)
-    xlnf = xln.reshape(B // bt, bt * N, C)
+    if ln1_in_kernel:
+        xln_arg = jnp.stack(
+            [jnp.asarray(weights["ln1_scale"]), jnp.asarray(weights["ln1_bias"])]
+        ).astype(jnp.float32)
+    else:
+        xln_arg = xln.reshape(B // bt, bt * N, C)
     kf = k.reshape(B // bt, bt * Nkv, C)
     vf = v.reshape(B // bt, bt * Nkv, C)
 
@@ -190,7 +234,7 @@ def fused_mit_block(
 
     row = lambda w: jnp.asarray(w).reshape(1, -1)
     args = (
-        xf, xlnf, kf, vf,
+        xf, xln_arg, kf, vf,
         weights["wq"], row(weights["bq"]), weights["wo"], row(weights["bo"]),
         row(weights["ln2_scale"]), row(weights["ln2_bias"]),
         weights["w1"], row(weights["b1"]),
@@ -198,7 +242,8 @@ def fused_mit_block(
         weights["w2"], row(weights["b2"]),
     )
     in_specs = [
-        bspec((bt * N, C)), bspec((bt * N, C)),
+        bspec((bt * N, C)),
+        bspec((2, C), False) if ln1_in_kernel else bspec((bt * N, C)),
         bspec((bt * Nkv, C)), bspec((bt * Nkv, C)),
         bspec((C, C), False), bspec((1, C), False),
         bspec((C, C), False), bspec((1, C), False),
@@ -209,11 +254,188 @@ def fused_mit_block(
     ]
 
     out = pl.pallas_call(
-        functools.partial(_block_kernel, heads=heads, H=H, W=W, bt=bt),
+        functools.partial(_block_kernel, heads=heads, H=H, W=W, bt=bt,
+                          mlp_chunk=mlp_chunk, ln1_in_kernel=ln1_in_kernel),
         grid=grid,
         in_specs=in_specs,
         out_specs=bspec((bt * N, C)),
         out_shape=jax.ShapeDtypeStruct((B // bt, bt * N, C), x.dtype),
+        interpret=interpret,
+    )(*args)
+    return out.reshape(B, N, C)
+
+
+# -- head-batched attention variant (heads > 1) --------------------------------
+#
+# The per-image/per-head attention loop in _block_kernel issues 2*heads tiny
+# MXU dots (e.g. stage 3: [196, 64] @ [64, 49] at ~11% utilization) and
+# `heads` lane-padded softmaxes per image. This variant applies packed2's
+# segment-softmax machinery to HEADS instead of images: scores for all heads
+# come from ONE dot against a head-block-diagonal k^T, the per-head softmax
+# is exact with a row-GLOBAL max (softmax is shift-invariant per row;
+# per-segment sums via indicator matmuls), and the context is one dot
+# against the stacked block-diagonal v.
+
+
+def _block_kernel_hb(
+    x_ref, xln_ref, bdk_ref, v_ref, seg_ref, segT_ref,
+    wq_ref, bq_ref, wo_ref, bo_ref,
+    ln2s_ref, ln2b_ref,
+    w1_ref, b1_ref, wdw_ref, bdw_ref, w2_ref, b2_ref,
+    y_ref,
+    *, heads: int, H: int, W: int, bt: int, ln1_in_kernel: bool = False,
+):
+    N = H * W
+    C = x_ref.shape[-1]
+    HN = bdk_ref.shape[-1]  # heads * Nkv
+    Nkv = HN // heads
+    hd = C // heads
+    scale = 1.0 / np.sqrt(hd)
+
+    x = x_ref[0]
+    if ln1_in_kernel:
+        xln = _layernorm(x, xln_ref[0][None, :], xln_ref[1][None, :])
+    else:
+        xln = xln_ref[0]
+    bdk = bdk_ref[0]  # [bt*C, HN]
+    vv = v_ref[0]     # [bt*Nkv, C] (compact — a stacked block-diagonal v
+                      # would cost another bt*HN*C*2 bytes x2 buffers of
+                      # VMEM, which evicts a whole batch-tile step at s3)
+
+    q = (
+        jnp.dot(xln, wq_ref[:], preferred_element_type=jnp.float32)
+        + bq_ref[0][None, :]
+    ).astype(x.dtype)
+
+    ctx_rows = []
+    for b in range(bt):
+        qb = q[b * N : (b + 1) * N]
+        scores = (
+            jnp.dot(qb, bdk[b * C : (b + 1) * C],
+                    preferred_element_type=jnp.float32)
+            * scale
+        )
+        m = jnp.max(scores, axis=-1, keepdims=True)  # row-global max: exact
+        p = jnp.exp(scores - m)
+        ssum = jnp.dot(p, seg_ref[:], preferred_element_type=jnp.float32)
+        denom = jnp.dot(ssum, segT_ref[:], preferred_element_type=jnp.float32)
+        probs = (p / denom).astype(x.dtype)
+        vb = vv[b * Nkv : (b + 1) * Nkv]
+        ctx_heads = [
+            jnp.dot(probs[:, h * Nkv : (h + 1) * Nkv],
+                    vb[:, h * hd : (h + 1) * hd],
+                    preferred_element_type=jnp.float32)
+            for h in range(heads)
+        ]
+        ctx_rows.append(jnp.concatenate(ctx_heads, axis=-1))
+    ctx = (
+        jnp.concatenate(ctx_rows, axis=0) if bt > 1 else ctx_rows[0]
+    ).astype(x.dtype)
+
+    attn_out = (
+        jnp.dot(ctx, wo_ref[:], preferred_element_type=jnp.float32)
+        + bo_ref[0][None, :]
+    )
+    x = (x.astype(jnp.float32) + attn_out).astype(x.dtype)
+
+    h2 = _layernorm(x, ln2s_ref[0][None, :], ln2b_ref[0][None, :])
+    h2 = (
+        jnp.dot(h2, w1_ref[:], preferred_element_type=jnp.float32)
+        + b1_ref[0][None, :]
+    ).astype(x.dtype)
+    h2 = _dwconv3x3(h2, wdw_ref[:], bdw_ref[0][None, :], H, W, N)
+    h2 = jax.nn.gelu(h2.astype(jnp.float32), approximate=True)
+    mlp_out = (
+        jnp.dot(h2.astype(x.dtype), w2_ref[:], preferred_element_type=jnp.float32)
+        + b2_ref[0][None, :]
+    )
+    y_ref[0] = (x.astype(jnp.float32) + mlp_out).astype(y_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "H", "W", "bt", "interpret"),
+)
+def fused_mit_block_hb(
+    x: jax.Array,      # [B, N, C] residual input
+    xln: jax.Array | None,  # [B, N, C] = LN1(x); None -> LN1 computed in-kernel
+    k: jax.Array,      # [B, Nkv, C]
+    v: jax.Array,      # [B, Nkv, C]
+    weights: dict[str, Any],
+    *,
+    heads: int,
+    H: int,
+    W: int,
+    bt: int = 1,
+    interpret: bool = False,
+) -> jax.Array:
+    """fused_mit_block with head-batched attention (see _block_kernel_hb).
+
+    The block-diagonal k^T / stacked v inflate k/v HBM traffic by ~heads x,
+    which is negligible at the SR-reduced Nkv (~49 tokens) — callers should
+    prefer this variant for heads > 1 when bt*C*heads*Nkv stays small
+    relative to VMEM (stages 2/3 of MiT; see models/mit_fused.py routing).
+    """
+    B, N, C = x.shape
+    Nkv = k.shape[1]
+    hd = C // heads
+    HN = heads * Nkv
+    hidden = weights["w1"].shape[1]
+    assert B % bt == 0, (B, bt)
+
+    # head-block-diagonal k^T: [B, C, HN], column block h = k[:, :, sl_h]^T
+    kT = jnp.swapaxes(k, 1, 2)  # [B, C, Nkv]
+    cols = []
+    for h in range(heads):
+        pre = jnp.zeros((B, h * hd, Nkv), k.dtype)
+        post = jnp.zeros((B, C - (h + 1) * hd, Nkv), k.dtype)
+        cols.append(jnp.concatenate([pre, kT[:, h * hd : (h + 1) * hd], post], 1))
+    bdk = jnp.concatenate(cols, 2)
+    # per-head segment indicators
+    seg = jnp.asarray(np.kron(np.eye(heads), np.ones((Nkv, 1))), jnp.float32)
+    segT = jnp.asarray(seg.T)
+
+    G = B // bt
+    ln1_in_kernel = xln is None
+    xf = x.reshape(G, bt * N, C)
+    if ln1_in_kernel:
+        xln_arg = jnp.stack(
+            [jnp.asarray(weights["ln1_scale"]), jnp.asarray(weights["ln1_bias"])]
+        ).astype(jnp.float32)
+    else:
+        xln_arg = xln.reshape(G, bt * N, C)
+    bdkf = bdk.reshape(G, bt * C, HN)
+    vf = v.reshape(G, bt * Nkv, C)
+
+    bspec = _bspec_maker()
+    row = lambda w: jnp.asarray(w).reshape(1, -1)
+    args = (
+        xf, xln_arg, bdkf, vf, seg, segT,
+        weights["wq"], row(weights["bq"]), weights["wo"], row(weights["bo"]),
+        row(weights["ln2_scale"]), row(weights["ln2_bias"]),
+        weights["w1"], row(weights["b1"]),
+        weights["wdw"], row(weights["bdw"]),
+        weights["w2"], row(weights["b2"]),
+    )
+    in_specs = [
+        bspec((bt * N, C)),
+        bspec((2, C), False) if ln1_in_kernel else bspec((bt * N, C)),
+        bspec((bt * C, HN)), bspec((bt * Nkv, C)),
+        bspec((HN, heads), False), bspec((heads, HN), False),
+        bspec((C, C), False), bspec((1, C), False),
+        bspec((C, C), False), bspec((1, C), False),
+        bspec((1, C), False), bspec((1, C), False),
+        bspec((C, hidden), False), bspec((1, hidden), False),
+        bspec((9, hidden), False), bspec((1, hidden), False),
+        bspec((hidden, C), False), bspec((1, C), False),
+    ]
+    out = pl.pallas_call(
+        functools.partial(_block_kernel_hb, heads=heads, H=H, W=W, bt=bt,
+                          ln1_in_kernel=ln1_in_kernel),
+        grid=(G,),
+        in_specs=in_specs,
+        out_specs=bspec((bt * N, C)),
+        out_shape=jax.ShapeDtypeStruct((G, bt * N, C), x.dtype),
         interpret=interpret,
     )(*args)
     return out.reshape(B, N, C)
@@ -967,6 +1189,8 @@ def block_weights_from_params(p: dict) -> dict:
         "bq": attn["q"].get("bias", jnp.zeros(attn["q"]["kernel"].shape[1])),
         "wo": attn["proj"]["kernel"],
         "bo": attn["proj"]["bias"],
+        "ln1_scale": p["norm1"]["scale"],
+        "ln1_bias": p["norm1"]["bias"],
         "ln2_scale": p["norm2"]["scale"],
         "ln2_bias": p["norm2"]["bias"],
         "w1": mlp["fc1"]["kernel"],

@@ -23,6 +23,7 @@ from surgical_tpu.core.config import BackboneConfig, HeadConfig
 from surgical_tpu.kernels.mit_block import (
     block_weights_from_params,
     fused_mit_block,
+    fused_mit_block_hb,
     fused_mit_block_packed2,
     pack_weights2,
 )
@@ -168,13 +169,30 @@ def fused_forward(
                 # per-stage batch tile sized to VMEM: ~0.5 MB of [N, C]
                 # activations per image (x, xln, out blocks are double-
                 # buffered; the kernel's f32 temporaries dominate at large N)
+                heads = cfg.num_heads[si]
+                Nkv = k.shape[1]
                 bt_fit = max(1, min(bt, (1 << 19) // (N * C * 2)))
                 while B % bt_fit != 0:
                     bt_fit -= 1
-                x = fused_mit_block(
-                    x, xln, k, v, weights,
-                    heads=cfg.num_heads[si], H=H, W=W, bt=bt_fit,
-                )
+                # xln=None -> the kernel recomputes LN1 in-VMEM from x,
+                # dropping one activation-sized block read per grid step
+                # (the xln computed above still feeds the SR k/v path)
+                if heads == 2 and bt_fit * C * heads * Nkv * 4 <= (3 << 19):
+                    # head-batched attention: scores + softmax for both heads
+                    # from one dot over a head-block-diagonal k^T + segment
+                    # softmax. Wins ~7% per block at heads=2 (measured);
+                    # at heads>=5 the heads-x FLOP waste of the block-diagonal
+                    # scores dot outweighs the batching, so those stages keep
+                    # the per-head loop.
+                    x = fused_mit_block_hb(
+                        x, None, k, v, weights,
+                        heads=heads, H=H, W=W, bt=bt_fit,
+                    )
+                else:
+                    x = fused_mit_block(
+                        x, None, k, v, weights,
+                        heads=heads, H=H, W=W, bt=bt_fit,
+                    )
         x = _ln(x, params[f"norm{stage}"])
         grids.append(x.reshape(B, H, W, C))
         x = grids[-1]

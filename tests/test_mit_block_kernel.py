@@ -201,3 +201,64 @@ def test_fused_block_train_vjp_matches_autodiff(rng, heads, bt):
         np.testing.assert_allclose(
             np.asarray(b) / scale, np.asarray(a) / scale,
             rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+@pytest.mark.parametrize("heads,bt", [(2, 1), (5, 2)])
+def test_head_batched_matches_loop(rng, heads, bt):
+    """fused_mit_block_hb (one dot over head-block-diagonal k/v + segment
+    softmax) == the per-head-loop kernel."""
+    from surgical_tpu.kernels.mit_block import fused_mit_block, fused_mit_block_hb
+
+    B, H, W, sr = 4, 8, 8, 4
+    C = heads * 64
+    N, Nkv = H * W, (H // sr) * (W // sr)
+    hidden = 2 * C
+    r = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.1)
+    w = {
+        "wq": r(C, C), "bq": r(C), "wo": r(C, C), "bo": r(C),
+        "ln2_scale": 1.0 + 0.1 * r(C), "ln2_bias": r(C),
+        "w1": r(C, hidden), "b1": r(hidden),
+        "wdw": r(9, hidden), "bdw": r(hidden),
+        "w2": r(hidden, C), "b2": r(C),
+    }
+    x, xln = r(B, N, C) * 5, r(B, N, C) * 5
+    k, v = r(B, Nkv, C) * 5, r(B, Nkv, C) * 5
+    want = fused_mit_block(x, xln, k, v, w, heads=heads, H=H, W=W, bt=bt,
+                           interpret=True)
+    got = fused_mit_block_hb(x, xln, k, v, w, heads=heads, H=H, W=W, bt=bt,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_ln1_in_kernel_matches_precomputed(rng):
+    """xln=None (in-kernel LN1 from weights['ln1_scale'/'ln1_bias']) == the
+    precomputed-xln path, for both the loop and head-batched kernels."""
+    from surgical_tpu.kernels.mit_block import fused_mit_block, fused_mit_block_hb
+
+    B, H, W, heads, sr = 4, 8, 8, 2, 4
+    C = heads * 64
+    N, Nkv = H * W, (H // sr) * (W // sr)
+    hidden = 2 * C
+    r = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.1)
+    w = {
+        "ln1_scale": 1.0 + 0.1 * r(C), "ln1_bias": r(C),
+        "wq": r(C, C), "bq": r(C), "wo": r(C, C), "bo": r(C),
+        "ln2_scale": 1.0 + 0.1 * r(C), "ln2_bias": r(C),
+        "w1": r(C, hidden), "b1": r(hidden),
+        "wdw": r(9, hidden), "bdw": r(hidden),
+        "w2": r(hidden, C), "b2": r(C),
+    }
+    x = r(B, N, C) * 5
+    x32 = x.astype(jnp.float32)
+    mu = x32.mean(-1, keepdims=True)
+    var = ((x32 - mu) ** 2).mean(-1, keepdims=True)
+    xln = ((x32 - mu) * jax.lax.rsqrt(var + 1e-6) * w["ln1_scale"]
+           + w["ln1_bias"]).astype(x.dtype)
+    k, v = r(B, Nkv, C) * 5, r(B, Nkv, C) * 5
+
+    for fn in (fused_mit_block, fused_mit_block_hb):
+        want = fn(x, xln, k, v, w, heads=heads, H=H, W=W, bt=2, interpret=True)
+        got = fn(x, None, k, v, w, heads=heads, H=H, W=W, bt=2, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5, err_msg=fn.__name__)

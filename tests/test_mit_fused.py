@@ -30,20 +30,21 @@ def test_fused_forward_matches_flax(rng):
     ref = np.asarray(
         model.apply(variables, img, seg, flow, return_features=True), np.float32
     )
-    # run the fused graph with the Pallas kernel in interpret mode on CPU
+    # run the fused graph with the Pallas kernels in interpret mode on CPU
     import surgical_tpu.kernels.mit_block as mb
+    import surgical_tpu.models.mit_fused as mf
 
-    orig = mb.fused_mit_block
+    def wrap(orig):
+        def interp(*args, **kw):
+            kw["interpret"] = True
+            return orig(*args, **kw)
+        return interp
 
-    def interp(*args, **kw):
-        kw["interpret"] = True
-        return orig(*args, **kw)
-
-    mb_fused = mb.fused_mit_block
+    saved = {n: getattr(mb, n) for n in ("fused_mit_block", "fused_mit_block_hb")}
     try:
-        mb.fused_mit_block = interp
-        import surgical_tpu.models.mit_fused as mf
-        mf.fused_mit_block = interp
+        for n, orig in saved.items():
+            setattr(mb, n, wrap(orig))
+            setattr(mf, n, wrap(orig))
         got = np.asarray(
             fused_forward(
                 variables["params"], variables["batch_stats"], img, seg, flow,
@@ -52,9 +53,9 @@ def test_fused_forward_matches_flax(rng):
             np.float32,
         )
     finally:
-        mb.fused_mit_block = mb_fused
-        import surgical_tpu.models.mit_fused as mf
-        mf.fused_mit_block = mb_fused
+        for n, orig in saved.items():
+            setattr(mb, n, orig)
+            setattr(mf, n, orig)
 
     # bf16 fused vs fp32 flax: expect close but not exact
     denom = np.maximum(np.abs(ref), 1e-2)
