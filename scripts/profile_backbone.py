@@ -93,7 +93,7 @@ def main():
         # NOTE: return a scalar — D2H of a [B, N, C] stage output through the
         # collapsed tunnel (~0.1 GB/s) would dominate the timing by 10x.
 
-        packed = C == 64 and heads == 1 and B % 2 == 0
+        packed = False  # packed2 unrouted: VMEM-edge at N=3136 (see mit_fused.py)
         pweights = [pack_weights2(w) for w in bweights] if packed else None
 
         # (a) Pallas kernels only: LN1 + block loop with fixed k/v
@@ -101,7 +101,7 @@ def main():
             for d in range(depth):
                 xln = _ln(x, bp_all[d]["norm1"])
                 if packed:
-                    x = fused_mit_block_packed2(x, xln, kv_fixed, kv_fixed,
+                    x = fused_mit_block_packed2(x, kv_fixed, kv_fixed,
                                                 pweights[d], H=H, W=W)
                 else:
                     x = fused_mit_block(x, xln, kv_fixed, kv_fixed, bweights[d],
@@ -120,7 +120,7 @@ def main():
                     kv_in = xln
                 kv = _dense(kv_in, bp["attn"]["kv"])
                 if packed:
-                    x = fused_mit_block_packed2(x, xln, kv[..., :C], kv[..., C:],
+                    x = fused_mit_block_packed2(x, kv[..., :C], kv[..., C:],
                                                 pweights[d], H=H, W=W)
                 else:
                     x = fused_mit_block(x, xln, kv[..., :C], kv[..., C:], bweights[d],

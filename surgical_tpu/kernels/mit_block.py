@@ -459,23 +459,50 @@ def fused_mit_block_hb(
 #     f32 accumulator inside VMEM
 
 
+def _ln_packed2(x, ind_ref, indT_ref, scale_row, bias_row, hd):
+    """LayerNorm per ``hd``-lane half via indicator matmuls (mean/var of
+    each packed image's channels computed with [C2, 2] / [2, C2] one-hot
+    matrices)."""
+    x32 = x.astype(jnp.float32)
+    mu = jnp.dot(
+        jnp.dot(x32, ind_ref[:], preferred_element_type=jnp.float32) * (1.0 / hd),
+        indT_ref[:], preferred_element_type=jnp.float32,
+    )
+    d = x32 - mu
+    var = jnp.dot(
+        jnp.dot(d * d, ind_ref[:], preferred_element_type=jnp.float32) * (1.0 / hd),
+        indT_ref[:], preferred_element_type=jnp.float32,
+    )
+    return ((d * jax.lax.rsqrt(var + 1e-6)) * scale_row + bias_row).astype(x.dtype)
+
+
 def _block_kernel_packed2(
-    x_ref, xln_ref, bdk_ref, bdv_ref,
+    x_ref, ln1_ref, bdk_ref, bdv_ref,
     seg_ref, segT_ref, ind_ref, indT_ref,
     wq_ref, bq_ref, wo_ref, bo_ref,
     ln2s_ref, ln2b_ref,
     w1_ref, b1_ref, wdw_ref, bdw_ref, w2_ref, b2_ref,
     y_ref,
-    *, H: int, W: int,
+    *, H: int, W: int, n_chunks: int, CH: int,
 ):
+    """One image pair per grid step; the MLP tail walks hidden chunks in a
+    REAL ``fori_loop`` (dynamic 128-aligned slices of the weight refs).
+    An unrolled Python chunk loop does NOT bound VMEM — Mosaic keeps every
+    iteration's temporaries (measured 16.9-17.4 MB against the 16 MB scoped
+    limit, flipping OOM with compile variance) — while a fori_loop body
+    allocates one iteration's worth. Putting the chunks on the pallas grid
+    instead costs ~15-20 us of step overhead per chunk and measured 23%
+    slower end-to-end."""
     N = H * W
     C2 = x_ref.shape[-1]  # 128 (two packed 64-channel images)
     hd = C2 // 2
     scale = 1.0 / np.sqrt(hd)
 
     x = x_ref[0]      # [N, 128]
-    xln = xln_ref[0]
-
+    # LN1 recomputed in-kernel from the packed [2, C2] scale/bias — one
+    # fewer [N, 128] block read per step
+    xln = _ln_packed2(x, ind_ref, indT_ref, ln1_ref[0][None, :],
+                      ln1_ref[1][None, :], hd)
     q = (
         jnp.dot(xln, wq_ref[:], preferred_element_type=jnp.float32)
         + bq_ref[0][None, :]
@@ -501,43 +528,25 @@ def _block_kernel_packed2(
     x = (x.astype(jnp.float32) + attn_out).astype(x.dtype)
 
     # LayerNorm per 64-lane half via indicator matmuls
-    x32 = x.astype(jnp.float32)
-    mu = jnp.dot(
-        jnp.dot(x32, ind_ref[:], preferred_element_type=jnp.float32) * (1.0 / hd),
-        indT_ref[:], preferred_element_type=jnp.float32,
-    )
-    d = x32 - mu
-    var = jnp.dot(
-        jnp.dot(d * d, ind_ref[:], preferred_element_type=jnp.float32) * (1.0 / hd),
-        indT_ref[:], preferred_element_type=jnp.float32,
-    )
-    h2ln = ((d * jax.lax.rsqrt(var + 1e-6)) * ln2s_ref[0][None, :]
-            + ln2b_ref[0][None, :]).astype(x.dtype)
+    h2ln = _ln_packed2(x, ind_ref, indT_ref, ln2s_ref[0][None, :],
+                       ln2b_ref[0][None, :], hd)
 
-    # MLP tail chunked over hidden channels: fc1 -> dwconv -> GELU -> fc2
-    # per 128-lane chunk, so neither the full [N, hidden2] activation nor
-    # its f32 dwconv/GELU temporaries are ever resident at once (the
-    # unchunked tail overflows the 16 MB VMEM stack at N=3136).
-    hidden2 = w1_ref.shape[-1]
-    CH = 128
-    mlp_out = b2_ref[0][None, :].astype(jnp.float32)
-    # keep chunk slices 2-D: a 1-D partial slice becomes a gather, which
-    # Mosaic cannot lower
-    b1_row = b1_ref[0][None, :]
-    bdw_row = bdw_ref[0][None, :]
-    for c0 in range(0, hidden2, CH):
+    def chunk(c, mlp_out):
+        sl = pl.ds(c * CH, CH)
         hc = (
-            jnp.dot(h2ln, w1_ref[:, c0 : c0 + CH],
-                    preferred_element_type=jnp.float32)
-            + b1_row[:, c0 : c0 + CH]
+            jnp.dot(h2ln, w1_ref[:, sl], preferred_element_type=jnp.float32)
+            + b1_ref[0, sl][None, :]
         ).astype(x.dtype)
-        hc = _dwconv3x3(hc, wdw_ref[:, c0 : c0 + CH],
-                        bdw_row[:, c0 : c0 + CH], H, W, N)
+        hc = _dwconv3x3(hc, wdw_ref[:, sl], bdw_ref[0, sl][None, :], H, W, N)
         hc = jax.nn.gelu(hc.astype(jnp.float32), approximate=True)
-        mlp_out = mlp_out + jnp.dot(
-            hc.astype(x.dtype), w2_ref[c0 : c0 + CH],
-            preferred_element_type=jnp.float32,
+        return mlp_out + jnp.dot(
+            hc.astype(x.dtype), w2_ref[sl, :], preferred_element_type=jnp.float32
         )
+
+    mlp_out = jax.lax.fori_loop(
+        0, n_chunks, chunk,
+        jnp.zeros((N, C2), jnp.float32) + b2_ref[0][None, :],
+    )
     y_ref[0] = (x.astype(jnp.float32) + mlp_out).astype(y_ref.dtype)
 
 
@@ -554,6 +563,8 @@ def pack_weights2(weights: dict[str, Any]) -> dict[str, Any]:
     """Pack per-image block weights for the 2-image lane-packed kernel."""
     cat = lambda v: jnp.concatenate([jnp.asarray(v)] * 2, axis=-1)
     return {
+        "ln1": jnp.stack([cat(weights["ln1_scale"]),
+                          cat(weights["ln1_bias"])]).astype(jnp.float32),
         "wq": _block_diag2(jnp.asarray(weights["wq"])),
         "bq": cat(weights["bq"]),
         "wo": _block_diag2(jnp.asarray(weights["wo"])),
@@ -572,7 +583,6 @@ def pack_weights2(weights: dict[str, Any]) -> dict[str, Any]:
 @functools.partial(jax.jit, static_argnames=("H", "W", "interpret"))
 def fused_mit_block_packed2(
     x: jax.Array,      # [B, N, 64] residual input (B even)
-    xln: jax.Array,    # [B, N, 64] = LN1(x)
     k: jax.Array,      # [B, Nkv, 64]
     v: jax.Array,      # [B, Nkv, 64]
     packed: dict[str, Any],  # pack_weights2(block_weights_from_params(...))
@@ -581,7 +591,8 @@ def fused_mit_block_packed2(
     W: int,
     interpret: bool = False,
 ) -> jax.Array:
-    """Single-head C=64 block with two images packed into the 128 lanes."""
+    """Single-head C=64 block with two images packed into the 128 lanes.
+    LN1 is always computed in-kernel (packed["ln1"])."""
     B, N, C = x.shape
     assert B % 2 == 0 and C == 64, (B, C)
     P = B // 2
@@ -591,7 +602,7 @@ def fused_mit_block_packed2(
         return a.reshape(P, 2, a.shape[1], C).transpose(0, 2, 1, 3).reshape(
             P, a.shape[1], 2 * C)
 
-    xp, xlnp = pack(x), pack(xln)
+    xp = pack(x)
 
     # block-diagonal k^T / v per image pair: [P, 128, 2*Nkv], [P, 2*Nkv, 128]
     kp = k.reshape(P, 2, Nkv, C)
@@ -618,6 +629,8 @@ def fused_mit_block_packed2(
     indT = ind.T
 
     hidden2 = packed["w1"].shape[1]
+    CH = 128
+    n_chunks = hidden2 // CH
 
     def bspec(shape, batched=True):
         if batched:
@@ -628,7 +641,7 @@ def fused_mit_block_packed2(
 
     row = lambda w: jnp.asarray(w).reshape(1, -1)
     args = (
-        xp, xlnp, bdk, bdv, seg, segT, ind, indT,
+        xp, packed["ln1"], bdk, bdv, seg, segT, ind, indT,
         packed["wq"], row(packed["bq"]), packed["wo"], row(packed["bo"]),
         row(packed["ln2_scale"]), row(packed["ln2_bias"]),
         packed["w1"], row(packed["b1"]),
@@ -637,7 +650,7 @@ def fused_mit_block_packed2(
     )
     C2 = 2 * C
     in_specs = [
-        bspec((N, C2)), bspec((N, C2)),
+        bspec((N, C2)), bspec((2, C2), False),
         bspec((C2, 2 * Nkv)), bspec((2 * Nkv, C2)),
         bspec((2 * Nkv, 2), False), bspec((2, 2 * Nkv), False),
         bspec((C2, 2), False), bspec((2, C2), False),
@@ -650,7 +663,8 @@ def fused_mit_block_packed2(
     ]
 
     out = pl.pallas_call(
-        functools.partial(_block_kernel_packed2, H=H, W=W),
+        functools.partial(_block_kernel_packed2, H=H, W=W,
+                          n_chunks=n_chunks, CH=CH),
         grid=(P,),
         in_specs=in_specs,
         out_specs=bspec((N, C2)),

@@ -159,11 +159,16 @@ def fused_forward(
             weights = jax.tree.map(
                 lambda a: jnp.asarray(a, dt), block_weights_from_params(bp)
             )
-            if C == 64 and cfg.num_heads[si] == 1 and B % 2 == 0:
-                # C=64 stages waste half of every 128-lane tile; run the
-                # 2-images-per-lane-row packed kernel instead
+            if False and C == 64 and cfg.num_heads[si] == 1 and B % 2 == 0:
+                # 2-images-per-lane-row packed kernel: measured ~3-5% faster
+                # for C=64 stages but sits at the 16 MB VMEM scoped limit at
+                # N=3136 and flips OOM with compile-to-compile variance
+                # (17.4 MB unrolled chunks / 19.6 MB fori chunks / 23% slower
+                # with chunks on the grid) — NOT routed until the MLP tail
+                # can be bounded without per-chunk grid overhead. The loop
+                # kernel below with in-kernel LN1 is within noise of it.
                 x = fused_mit_block_packed2(
-                    x, xln, k, v, pack_weights2(weights), H=H, W=W,
+                    x, k, v, pack_weights2(weights), H=H, W=W,
                 )
             else:
                 # per-stage batch tile sized to VMEM: ~0.5 MB of [N, C]

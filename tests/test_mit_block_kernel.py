@@ -101,21 +101,23 @@ def test_lane_packed2_matches_unpacked(rng):
     B, H, W, C, sr = 4, 8, 8, 64, 4
     N, Nkv = H * W, (H // sr) * (W // sr)
     x = jnp.asarray(rng.standard_normal((B, N, C)).astype(np.float32))
-    xln = jnp.asarray(rng.standard_normal((B, N, C)).astype(np.float32))
     k = jnp.asarray(rng.standard_normal((B, Nkv, C)).astype(np.float32))
     v = jnp.asarray(rng.standard_normal((B, Nkv, C)).astype(np.float32))
     hidden = C * 4
     r = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.1)
     weights = {
+        "ln1_scale": 1.0 + 0.1 * r(C), "ln1_bias": r(C),
         "wq": r(C, C), "bq": r(C), "wo": r(C, C), "bo": r(C),
         "ln2_scale": 1.0 + 0.1 * r(C), "ln2_bias": r(C),
         "w1": r(C, hidden), "b1": r(hidden),
         "wdw": r(9, hidden), "bdw": r(hidden),
         "w2": r(hidden, C), "b2": r(C),
     }
-    want = fused_mit_block(x, xln, k, v, weights, heads=1, H=H, W=W,
+    # packed2 always computes LN1 in-kernel; feed the reference kernel the
+    # same LN1(x)
+    want = fused_mit_block(x, None, k, v, weights, heads=1, H=H, W=W,
                            bt=1, interpret=True)
-    got = fused_mit_block_packed2(x, xln, k, v, pack_weights2(weights),
+    got = fused_mit_block_packed2(x, k, v, pack_weights2(weights),
                                   H=H, W=W, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
