@@ -269,6 +269,171 @@ def import_evp_state_dict(
     return params, batch_stats
 
 
+# -- Refinement Transformer (adapter_transformer.py Transformer wrapper) -------
+
+def _attn_import(sd: Mapping[str, np.ndarray], pre: str) -> dict:
+    """Trans-SVNet MultiHeadAttention -> transsv.MultiHeadAttention params.
+
+    Public Trans-SVNet layout (the missing transformer2_3_1.py, SURVEY §2.9):
+    ``W_Q/W_K/W_V`` Linear(bias=False), output ``fc`` Linear(bias=False),
+    and a LayerNorm constructed INLINE in forward — so it carries no state
+    and is always identity-affine.  If a fork moved the LN into __init__
+    (``layernorm.weight`` present) it is imported instead.
+    """
+    p = {
+        "w_q": {"kernel": np.asarray(sd[f"{pre}.W_Q.weight"]).T},
+        "w_k": {"kernel": np.asarray(sd[f"{pre}.W_K.weight"]).T},
+        "w_v": {"kernel": np.asarray(sd[f"{pre}.W_V.weight"]).T},
+        "w_o": {"kernel": np.asarray(sd[f"{pre}.fc.weight"]).T},
+    }
+    d_model = p["w_q"]["kernel"].shape[0]
+    if f"{pre}.layernorm.weight" in sd:
+        p["ln"] = _ln(sd, f"{pre}.layernorm")
+    else:
+        p["ln"] = {"scale": np.ones(d_model, np.float32),
+                   "bias": np.zeros(d_model, np.float32)}
+    return p
+
+
+def _ffn_import(sd: Mapping[str, np.ndarray], pre: str) -> dict:
+    """PoswiseFeedForwardNet (``fc`` = Sequential(Linear(bias=False), ReLU,
+    Linear(bias=False)) + inline LayerNorm) -> transsv.PoswiseFFN params.
+    Our Dense layers carry biases; the torch layout has none, so they are
+    zeroed for exact equivalence."""
+    w1 = np.asarray(sd[f"{pre}.fc.0.weight"]).T
+    w2 = np.asarray(sd[f"{pre}.fc.2.weight"]).T
+    d_model = w1.shape[0]
+    ln = (_ln(sd, f"{pre}.layernorm") if f"{pre}.layernorm.weight" in sd
+          else {"scale": np.ones(d_model, np.float32),
+                "bias": np.zeros(d_model, np.float32)})
+    return {
+        "fc1": {"kernel": w1, "bias": np.zeros(w1.shape[1], np.float32)},
+        "fc2": {"kernel": w2, "bias": np.zeros(w2.shape[1], np.float32)},
+        "ln": ln,
+    }
+
+
+def import_refiner_state_dict(sd: Mapping[str, np.ndarray], n_layers: int = 1) -> dict:
+    """Reference refiner checkpoint (``TeCNOevp_trans1_3_5_1_...pth``, the
+    ``Transformer`` wrapper of adapter_transformer.py:290-352 loaded at
+    trans_SV_output.py:205-211) -> RefinementTransformer params.
+
+    Expected keys (public Trans-SVNet naming for the snapshot-missing
+    ``Transformer2_3_1``): ``fc.weight`` plus
+    ``transformer.encoder.layers.{i}.enc_self_attn/pos_ffn.*`` and
+    ``transformer.decoder.layers.{i}.dec_self_attn/dec_enc_attn/pos_ffn.*``.
+    Non-parameter buffers (e.g. positional-encoding ``pe``) are ignored.
+    """
+    t = {}
+    for i in range(n_layers):
+        enc = f"transformer.encoder.layers.{i}"
+        t[f"enc_{i}"] = {
+            "self_attn": _attn_import(sd, f"{enc}.enc_self_attn"),
+            "ffn": _ffn_import(sd, f"{enc}.pos_ffn"),
+        }
+        dec = f"transformer.decoder.layers.{i}"
+        t[f"dec_{i}"] = {
+            "self_attn": _attn_import(sd, f"{dec}.dec_self_attn"),
+            "cross_attn": _attn_import(sd, f"{dec}.dec_enc_attn"),
+            "ffn": _ffn_import(sd, f"{dec}.pos_ffn"),
+        }
+    return {
+        "fc": {"kernel": np.asarray(sd["fc.weight"]).T},
+        "transformer": t,
+    }
+
+
+def export_refiner_state_dict(params: Mapping, n_layers: int = 1) -> dict:
+    """RefinementTransformer params -> the reference ``Transformer`` wrapper
+    layout (inverse of import_refiner_state_dict; LN/bias state that has no
+    torch slot — inline LayerNorms, FFN biases — must be identity/zero and is
+    asserted so a lossy export cannot pass silently)."""
+    sd = {"fc.weight": np.asarray(params["fc"]["kernel"]).T}
+
+    def put_attn(pre, p):
+        sd[f"{pre}.W_Q.weight"] = np.asarray(p["w_q"]["kernel"]).T
+        sd[f"{pre}.W_K.weight"] = np.asarray(p["w_k"]["kernel"]).T
+        sd[f"{pre}.W_V.weight"] = np.asarray(p["w_v"]["kernel"]).T
+        sd[f"{pre}.fc.weight"] = np.asarray(p["w_o"]["kernel"]).T
+        assert np.allclose(p["ln"]["scale"], 1.0) and np.allclose(p["ln"]["bias"], 0.0), \
+            f"{pre}: non-identity LayerNorm has no slot in the torch layout"
+
+    def put_ffn(pre, p):
+        sd[f"{pre}.fc.0.weight"] = np.asarray(p["fc1"]["kernel"]).T
+        sd[f"{pre}.fc.2.weight"] = np.asarray(p["fc2"]["kernel"]).T
+        assert np.allclose(p["fc1"]["bias"], 0.0) and np.allclose(p["fc2"]["bias"], 0.0), \
+            f"{pre}: nonzero FFN bias has no slot in the torch layout"
+        assert np.allclose(p["ln"]["scale"], 1.0) and np.allclose(p["ln"]["bias"], 0.0), \
+            f"{pre}: non-identity LayerNorm has no slot in the torch layout"
+
+    t = params["transformer"]
+    for i in range(n_layers):
+        put_attn(f"transformer.encoder.layers.{i}.enc_self_attn", t[f"enc_{i}"]["self_attn"])
+        put_ffn(f"transformer.encoder.layers.{i}.pos_ffn", t[f"enc_{i}"]["ffn"])
+        put_attn(f"transformer.decoder.layers.{i}.dec_self_attn", t[f"dec_{i}"]["self_attn"])
+        put_attn(f"transformer.decoder.layers.{i}.dec_enc_attn", t[f"dec_{i}"]["cross_attn"])
+        put_ffn(f"transformer.decoder.layers.{i}.pos_ffn", t[f"dec_{i}"]["ffn"])
+    return sd
+
+
+# -- Causal Mamba (mstcn.py:282-343 + mamba_ssm Mamba layout) ------------------
+
+def import_mamba_state_dict(sd: Mapping[str, np.ndarray], layers: int) -> dict:
+    """Reference ``CausalMambaModel`` checkpoint (mstcn.py:300-343: ``in_proj``
+    Linear, ``blocks.{i}`` = mamba_ssm ``Mamba`` modules, ``norm`` LayerNorm,
+    ``head`` Linear) -> models.mamba.CausalMambaModel params.
+
+    mamba_ssm Mamba key map (mamba_simple.py public layout):
+      in_proj [2*d_inner, d_model] (no bias) | conv1d [d_inner, 1, d_conv] +
+      bias | x_proj [dt_rank + 2*d_state, d_inner] (no bias) | dt_proj
+      [d_inner, dt_rank] + bias | A_log [d_inner, d_state] | D [d_inner] |
+      out_proj [d_model, d_inner] (no bias).
+    """
+    params: dict = {
+        "in_proj": _dense(sd, "in_proj"),
+        "norm": _ln(sd, "norm"),
+        "head": _dense(sd, "head"),
+    }
+    for i in range(layers):
+        pre = f"blocks.{i}"
+        w_conv = np.asarray(sd[f"{pre}.conv1d.weight"]).transpose(2, 1, 0)
+        params[f"block_{i}"] = {
+            "in_proj": {"kernel": np.asarray(sd[f"{pre}.in_proj.weight"]).T},
+            "conv1d": {"kernel": w_conv, "bias": np.asarray(sd[f"{pre}.conv1d.bias"])},
+            "x_proj": {"kernel": np.asarray(sd[f"{pre}.x_proj.weight"]).T},
+            "dt_proj": _dense(sd, f"{pre}.dt_proj"),
+            "A_log": np.asarray(sd[f"{pre}.A_log"]),
+            "D": np.asarray(sd[f"{pre}.D"]),
+            "out_proj": {"kernel": np.asarray(sd[f"{pre}.out_proj.weight"]).T},
+        }
+    return params
+
+
+def export_mamba_state_dict(params: Mapping, layers: int) -> dict:
+    """CausalMambaModel params -> reference torch layout (round-trip)."""
+    sd = {
+        "in_proj.weight": np.asarray(params["in_proj"]["kernel"]).T,
+        "in_proj.bias": np.asarray(params["in_proj"]["bias"]),
+        "norm.weight": np.asarray(params["norm"]["scale"]),
+        "norm.bias": np.asarray(params["norm"]["bias"]),
+        "head.weight": np.asarray(params["head"]["kernel"]).T,
+        "head.bias": np.asarray(params["head"]["bias"]),
+    }
+    for i in range(layers):
+        p = params[f"block_{i}"]
+        pre = f"blocks.{i}"
+        sd[f"{pre}.in_proj.weight"] = np.asarray(p["in_proj"]["kernel"]).T
+        sd[f"{pre}.conv1d.weight"] = np.asarray(p["conv1d"]["kernel"]).transpose(2, 1, 0)
+        sd[f"{pre}.conv1d.bias"] = np.asarray(p["conv1d"]["bias"])
+        sd[f"{pre}.x_proj.weight"] = np.asarray(p["x_proj"]["kernel"]).T
+        sd[f"{pre}.dt_proj.weight"] = np.asarray(p["dt_proj"]["kernel"]).T
+        sd[f"{pre}.dt_proj.bias"] = np.asarray(p["dt_proj"]["bias"])
+        sd[f"{pre}.A_log"] = np.asarray(p["A_log"])
+        sd[f"{pre}.D"] = np.asarray(p["D"])
+        sd[f"{pre}.out_proj.weight"] = np.asarray(p["out_proj"]["kernel"]).T
+    return sd
+
+
 # -- RAFT (upstream princeton-vl raft-things.pth layout) -----------------------
 
 def _frozen_bn(sd, key):
