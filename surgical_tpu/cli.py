@@ -46,6 +46,8 @@ def cmd_prepare_data(args) -> int:
     for name, split in (("train", train), ("val", val), ("test", test)):
         np.save(os.path.join(out, f"{name}_labels.npy"), split.labels)
         np.save(os.path.join(out, f"{name}_num_each.npy"), np.asarray(split.num_each))
+        np.save(os.path.join(out, f"{name}_video_ids.npy"),
+                np.asarray(split.video_ids, dtype=np.int64))
         with open(os.path.join(out, f"{name}_paths.json"), "w") as f:
             json.dump(split.paths, f)
     if args.reference_pickle:
@@ -375,12 +377,41 @@ def cmd_train_refiner(args) -> int:
     trainer = RefinerTrainer(temporal, RefinementTransformer(RefinerConfig(f_dim=f_dim)), cfg)
     params, opt_state = trainer.init(jax.random.key(1), temporal_params, f_dim)
     store = CheckpointStore(_work_paths(args.work)["ckpt_refiner"])
-    for epoch in range(args.epochs):
+    start_epoch = 0
+    if args.resume and store.latest_step() is not None:
+        # Full continuation, matching the hardened backbone/temporal stages:
+        # params from the checkpoint, Adam moments from the aux pytree
+        # (tecno_trans.py:627-634 is the reference analogue — it saves params
+        # only and resumes by editing path constants; we resume the optimizer
+        # too so a resumed run IS the original schedule).
+        step = store.latest_step()
+        start_epoch = step + 1
+        params = store.restore(step, params)
+        if store.has_aux(step):
+            opt_state = store.restore_aux(step, {"opt_state": opt_state})["opt_state"]
+        print(f"resumed refiner full train state from epoch {step}")
+    for epoch in range(start_epoch, args.epochs):
         params, opt_state, tm = trainer.train_epoch(temporal_params, params, opt_state, train_ds, epoch)
         vm, _, _ = trainer.evaluate(temporal_params, params, val_ds)
-        store.save(epoch, params, metrics={"val_acc": vm["acc_frame"], **{f"train_{k}": v for k, v in tm.items()}})
+        store.save(epoch, params,
+                   metrics={"val_acc": vm["acc_frame"],
+                            **{f"train_{k}": v for k, v in tm.items()}},
+                   aux={"opt_state": opt_state})
         print(f"epoch {epoch}: train_loss={tm['train_loss']:.4f} val_acc={vm['acc_frame']:.4f}")
     return 0
+
+
+def _split_video_ids(work: str, split: str, num_videos: int) -> list[int]:
+    """Video numbers of a split, from the index manifest. Prediction txts are
+    named after the split's ACTUAL video ids (trans_SV_output.py:304-321) —
+    the 41-offset fallback only holds for Cholec80 val/test
+    (get_path_labels.py:207-219) and is kept for pre-round-3 work dirs."""
+    p = os.path.join(_work_paths(work)["index"], f"{split}_video_ids.npy")
+    if os.path.exists(p):
+        ids = np.load(p).tolist()
+        assert len(ids) == num_videos, (len(ids), num_videos)
+        return [int(v) for v in ids]
+    return list(range(41, 41 + num_videos))
 
 
 def cmd_predict(args) -> int:
@@ -404,9 +435,7 @@ def cmd_predict(args) -> int:
     r_template, _ = trainer.init(jax.random.key(1), temporal_params, f_dim)
     refiner_params = rstore.restore(rstore.best_step("val_acc"), r_template)
 
-    # test split = videos 41..80; val = 41..48 (get_path_labels.py:207-219)
-    first = 41
-    video_ids = list(range(first, first + ds.num_videos))
+    video_ids = _split_video_ids(args.work, args.split, ds.num_videos)
     out_dir = os.path.join(_work_paths(args.work)["output"], args.split.capitalize())
     metrics, _, _ = predict_and_write(
         trainer, temporal_params, refiner_params, ds, out_dir, video_ids
@@ -572,18 +601,19 @@ def cmd_selfcheck_full(args) -> int:
         idx = _work_paths(work)["index"]
         labels = np.load(os.path.join(idx, "test_labels.npy"))
         num_each = np.load(os.path.join(idx, "test_num_each.npy"))
+        video_ids = _split_video_ids(work, "test", len(num_each))
         gt_dir = os.path.join(td, "gt-phase")
         os.makedirs(gt_dir, exist_ok=True)
         off = 0
-        for k, n in enumerate(num_each):
+        for vid, n in zip(video_ids, num_each):
             write_phase_txt(
-                os.path.join(gt_dir, video_txt_name(41 + k)),
+                os.path.join(gt_dir, video_txt_name(vid)),
                 labels[off : off + n, 0].astype(int),
             )
             off += n
         rc = main(["evaluate", "--gt", gt_dir,
                    "--pred", os.path.join(_work_paths(work)["output"], "Test"),
-                   "--first", "41", "--last", str(40 + len(num_each))])
+                   "--first", str(min(video_ids)), "--last", str(max(video_ids))])
         assert rc == 0
         print("SELFCHECK-FULL OK: all 7 stages composed")
         return 0
@@ -717,6 +747,9 @@ def main(argv=None) -> int:
     sp.add_argument("--model", choices=["mstcn", "mamba"], default="mstcn")
     sp.add_argument("--epochs", type=int, default=10)
     sp.add_argument("--temporal-epoch", type=int, default=-1)
+    sp.add_argument("--resume", action="store_true",
+                    help="continue from the latest refiner checkpoint "
+                         "(params + optimizer state)")
     sp.set_defaults(fn=cmd_train_refiner)
 
     sp = sub.add_parser("predict")

@@ -62,6 +62,14 @@ class Split:
     paths: list[str]
     labels: np.ndarray  # [N, 15]
     num_each: list[int]
+    # actual video numbers of this split, in order — prediction artifacts are
+    # named video<NN>-phase.txt after THESE ids (trans_SV_output.py:304-321),
+    # which only coincide with a 41-offset for the Cholec80 val/test splits
+    video_ids: list[int] = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.video_ids is None:
+            self.video_ids = list(range(1, len(self.num_each) + 1))
 
     @property
     def starts(self) -> np.ndarray:
@@ -175,12 +183,14 @@ def index_dataset(
 
 
 def _collect(videos: Sequence[VideoIndex], width: int = 15) -> Split:
-    paths, labels, num_each = [], [], []
+    paths, labels, num_each, ids = [], [], [], []
     for v in videos:
         paths.extend(v.img_paths)
         labels.append(v.labels)
         num_each.append(v.num_frames)
-    return Split(paths, np.concatenate(labels) if labels else np.zeros((0, width)), num_each)
+        ids.append(v.video_id)
+    return Split(paths, np.concatenate(labels) if labels else np.zeros((0, width)),
+                 num_each, ids)
 
 
 def make_splits(videos: Sequence[VideoIndex], scheme: str = "stage2"):

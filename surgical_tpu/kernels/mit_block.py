@@ -675,6 +675,324 @@ def fused_mit_block_packed2(
     return out.reshape(P, N, 2, C).transpose(0, 2, 1, 3).reshape(B, N, C)
 
 
+# -- whole-stage fusion: every block of a MiT stage in ONE pallas call ---------
+#
+# Round-3 finding (scripts/probe_stage_fusion.py): the per-block kernels are
+# dominated by activation HBM round-trips — a pass-through of stage 3's
+# exact block shape costs ~85% of the real block kernel's time. This kernel
+# keeps the activation RESIDENT in VMEM across all ``depth`` blocks of a
+# stage (the output block's index is constant over the inner grid axis, so
+# Mosaic never flushes it) and instead STREAMS the per-block weights through
+# a block-indexed grid axis — large contiguous DMAs that pipeline behind
+# compute. Activation traffic drops from 2*depth to 2 block-sized transfers
+# per batch tile.
+#
+# To make each block self-contained (its k/v depend on its own input, which
+# only exists in VMEM), the spatial-reduction conv + LN + kv projection move
+# IN-kernel: the sr x sr stride-sr conv is computed as sr^2 tap-shifted
+# matmuls at full resolution, and the stride-sr row selection is one
+# indicator matmul (computed-index gathers run at ~0.45 GB/s on TPU —
+# docs/kernel_notes.md — while a 0/1 selection matmul rides the MXU; each
+# output row has exactly one hit, so bf16 is exact). The per-depth prompt
+# add (lightweight_mlp -> GELU -> shared_mlp, mit_evp PromptGenerator
+# get_prompt) is also fused, reading the stage-constant prompt base from a
+# second resident input block.
+#
+# ``phases=2`` splits each block into an attention step and an MLP step on
+# the inner grid axis, halving peak VMEM (temporaries of the two halves
+# never coexist); weight index maps use j//2 so each block's weights are
+# still fetched once.
+
+
+def _shift_rows(h, off):
+    """shifted[t] = h[t + off] with zero fill (static concat shift)."""
+    M, C = h.shape
+    if off > 0:
+        return jnp.concatenate([h[off:], jnp.zeros((off, C), h.dtype)], 0)
+    if off < 0:
+        return jnp.concatenate([jnp.zeros((-off, C), h.dtype), h[:off]], 0)
+    return h
+
+
+def _stage_kernel(
+    *refs,
+    heads: int, H: int, W: int, sr: int, bt: int,
+    has_base: bool, phases: int,
+):
+    it = iter(refs)
+    x_ref = next(it)
+    if has_base:
+        base_ref = next(it)
+        sharedw_ref = next(it)
+        sharedb_ref = next(it)
+        lww_ref = next(it)
+        lwb_ref = next(it)
+    if sr > 1:
+        ssel_ref = next(it)
+        srw_ref = next(it)
+        srb_ref = next(it)
+        lnkv_ref = next(it)
+    (ln1_ref, wkv_ref, bkv_ref, wq_ref, bq_ref, wo_ref, bo_ref,
+     ln2_ref, w1_ref, b1_ref, wdw_ref, bdw_ref, w2_ref, b2_ref,
+     y_ref) = list(it)
+
+    N = H * W
+    C = x_ref.shape[-1]
+    hd = C // heads
+    scale = 1.0 / np.sqrt(hd)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _seed():
+        y_ref[0] = x_ref[0]
+
+    def attn_half():
+        x = y_ref[0]  # [bt*N, C]
+        if has_base:
+            feat = (
+                jnp.dot(base_ref[0], lww_ref[0], preferred_element_type=jnp.float32)
+                + lwb_ref[0]
+            )
+            # tanh-approx GELU (exact erf does not lower in Mosaic); the
+            # XLA prompt path uses exact GELU — deviation <= ~1e-3
+            feat = jax.nn.gelu(feat, approximate=True).astype(x.dtype)
+            prompt = (
+                jnp.dot(feat, sharedw_ref[:], preferred_element_type=jnp.float32)
+                + sharedb_ref[:]
+            )
+            x = (x.astype(jnp.float32) + prompt).astype(x.dtype)
+
+        ln1 = ln1_ref[0]
+        xln = _layernorm(x, ln1[0:1], ln1[1:2])
+
+        if sr > 1:
+            # sr x sr stride-sr conv: tap-shifted matmuls at full resolution
+            # (selected rows never read across an image edge: patch origins
+            # satisfy sr*r + dy <= H-1), then indicator-matmul row selection
+            acc = None
+            for t in range(sr * sr):
+                dy, dx = t // sr, t % sr
+                shifted = _shift_rows(xln, dy * W + dx)
+                contrib = jnp.dot(
+                    shifted, srw_ref[0][t * C : (t + 1) * C, :],
+                    preferred_element_type=jnp.float32,
+                )
+                acc = contrib if acc is None else acc + contrib
+            acc = (acc + srb_ref[0]).astype(x.dtype)
+            kvin = jnp.dot(ssel_ref[:], acc, preferred_element_type=jnp.float32)
+            lnkv = lnkv_ref[0]
+            kvin = _layernorm(kvin.astype(x.dtype), lnkv[0:1], lnkv[1:2])
+        else:
+            kvin = xln
+
+        kv = (
+            jnp.dot(kvin, wkv_ref[0], preferred_element_type=jnp.float32)
+            + bkv_ref[0]
+        ).astype(x.dtype)
+        kk, vv = kv[:, :C], kv[:, C:]
+        Nkv = kk.shape[0] // bt
+
+        q = (
+            jnp.dot(xln, wq_ref[0], preferred_element_type=jnp.float32)
+            + bq_ref[0]
+        ).astype(x.dtype)
+
+        ctx_rows = []
+        for b in range(bt):
+            qb = q[b * N : (b + 1) * N]
+            kb = kk[b * Nkv : (b + 1) * Nkv]
+            vb = vv[b * Nkv : (b + 1) * Nkv]
+            ctx_heads = []
+            for h in range(heads):
+                sl = slice(h * hd, (h + 1) * hd)
+                scores = (
+                    jax.lax.dot_general(
+                        qb[:, sl], kb[:, sl],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    * scale
+                )
+                probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+                ctx_heads.append(
+                    jnp.dot(probs, vb[:, sl], preferred_element_type=jnp.float32)
+                )
+            ctx_rows.append(jnp.concatenate(ctx_heads, axis=-1))
+        ctx = (
+            jnp.concatenate(ctx_rows, axis=0) if bt > 1 else ctx_rows[0]
+        ).astype(x.dtype)
+
+        attn_out = (
+            jnp.dot(ctx, wo_ref[0], preferred_element_type=jnp.float32)
+            + bo_ref[0]
+        )
+        return (x.astype(jnp.float32) + attn_out).astype(x.dtype)
+
+    def mlp_half(x1):
+        ln2 = ln2_ref[0]
+        h2 = _layernorm(x1, ln2[0:1], ln2[1:2])
+        h2 = (
+            jnp.dot(h2, w1_ref[0], preferred_element_type=jnp.float32)
+            + b1_ref[0]
+        ).astype(x1.dtype)
+        h2 = _dwconv3x3(h2, wdw_ref[0], bdw_ref[0], H, W, N)
+        h2 = jax.nn.gelu(h2.astype(jnp.float32), approximate=True)
+        mlp_out = (
+            jnp.dot(h2.astype(x1.dtype), w2_ref[0], preferred_element_type=jnp.float32)
+            + b2_ref[0]
+        )
+        return (x1.astype(jnp.float32) + mlp_out).astype(y_ref.dtype)
+
+    if phases == 1:
+        y_ref[0] = mlp_half(attn_half())
+    else:
+        @pl.when(j % 2 == 0)
+        def _attn():
+            y_ref[0] = attn_half()
+
+        @pl.when(j % 2 == 1)
+        def _mlp():
+            y_ref[0] = mlp_half(y_ref[0])
+
+
+def stage_weights_from_params(
+    params: dict, stage: int, depth: int, dtype=jnp.bfloat16,
+) -> dict:
+    """Stack one MiT stage's per-block weights (+ per-depth prompt MLPs, if
+    the prompt generator has them) along a leading depth axis for
+    ``fused_mit_stage``'s streaming BlockSpecs."""
+    bws = [block_weights_from_params(params[f"block{stage}_{d}"])
+           for d in range(depth)]
+    bps = [params[f"block{stage}_{d}"] for d in range(depth)]
+    cast = lambda a: jnp.asarray(a, dtype)
+    stack = lambda key: jnp.stack([cast(w[key]) for w in bws])
+    stack_row = lambda key: jnp.stack([cast(w[key]).reshape(1, -1) for w in bws])
+    ln = lambda skey, bkey: jnp.stack(
+        [jnp.stack([cast(w[skey]), cast(w[bkey])]) for w in bws])
+    out = {
+        "ln1": ln("ln1_scale", "ln1_bias"),
+        "ln2": ln("ln2_scale", "ln2_bias"),
+        "wq": stack("wq"), "bq": stack_row("bq"),
+        "wo": stack("wo"), "bo": stack_row("bo"),
+        "w1": stack("w1"), "b1": stack_row("b1"),
+        "wdw": stack("wdw"), "bdw": stack_row("bdw"),
+        "w2": stack("w2"), "b2": stack_row("b2"),
+        "wkv": jnp.stack([cast(bp["attn"]["kv"]["kernel"]) for bp in bps]),
+        "bkv": jnp.stack([cast(bp["attn"]["kv"]["bias"]).reshape(1, -1)
+                          for bp in bps]),
+    }
+    if "sr" in bps[0]["attn"]:
+        # flax conv kernel [sr, sr, C, C] -> rows ordered (dy, dx, c_in)
+        out["srw"] = jnp.stack([
+            cast(bp["attn"]["sr"]["kernel"]).reshape(-1, bp["attn"]["sr"]["kernel"].shape[-1])
+            for bp in bps
+        ])
+        out["srb"] = jnp.stack([cast(bp["attn"]["sr"]["bias"]).reshape(1, -1)
+                                for bp in bps])
+        out["lnkv"] = jnp.stack([
+            jnp.stack([cast(bp["attn"]["norm"]["scale"]),
+                       cast(bp["attn"]["norm"]["bias"])])
+            for bp in bps
+        ])
+    pg = params.get("prompt_generator")
+    if pg is not None and f"lightweight_mlp{stage}_0" in pg:
+        out["lww"] = jnp.stack([cast(pg[f"lightweight_mlp{stage}_{d}"]["kernel"])
+                                for d in range(depth)])
+        out["lwb"] = jnp.stack([cast(pg[f"lightweight_mlp{stage}_{d}"]["bias"]).reshape(1, -1)
+                                for d in range(depth)])
+        out["sharedw"] = cast(pg[f"shared_mlp{stage}"]["kernel"])
+        out["sharedb"] = cast(pg[f"shared_mlp{stage}"]["bias"]).reshape(1, -1)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _sr_selector(bt: int, H: int, W: int, sr: int) -> np.ndarray:
+    """[bt*Nkv, bt*N] 0/1 selection of stride-sr patch origins per image."""
+    N = H * W
+    Hk, Wk = H // sr, W // sr
+    Nkv = Hk * Wk
+    S = np.zeros((bt * Nkv, bt * N), np.float32)
+    for b in range(bt):
+        for r in range(Hk):
+            for c in range(Wk):
+                S[b * Nkv + r * Wk + c, b * N + (sr * r) * W + sr * c] = 1.0
+    return S
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "H", "W", "sr", "bt", "phases", "interpret"),
+)
+def fused_mit_stage(
+    x: jax.Array,              # [B, N, C] stage input (post patch-embed LN)
+    base: jax.Array | None,    # [B, N, C] prompt base (None -> no prompt adds)
+    sw: dict[str, Any],        # stage_weights_from_params(...)
+    *,
+    heads: int,
+    H: int,
+    W: int,
+    sr: int,
+    bt: int = 1,
+    phases: int = 1,
+    interpret: bool = False,
+) -> jax.Array:
+    """All blocks of one MiT stage fused: resident activation, streamed
+    per-block weights. See the section comment above for the design."""
+    B, N, C = x.shape
+    g = sw["wq"].shape[0]
+    hidden = sw["w1"].shape[-1]
+    has_base = base is not None
+    assert B % bt == 0, (B, bt)
+    assert phases in (1, 2), phases
+    if has_base:
+        assert "lww" in sw, "prompt weights missing from stage weights"
+    G = B // bt
+    M = bt * N
+
+    resident = lambda: pl.BlockSpec((1, M, C), lambda i, j: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda i, j: tuple([0] * len(shape)), memory_space=pltpu.VMEM)
+    midx = (lambda i, j: (j, 0, 0)) if phases == 1 else (
+        lambda i, j: (j // 2, 0, 0))
+    stream = lambda shape: pl.BlockSpec((1, *shape), midx,
+                                        memory_space=pltpu.VMEM)
+
+    args = [x.reshape(G, M, C)]
+    specs = [resident()]
+    if has_base:
+        args += [base.reshape(G, M, C), sw["sharedw"], sw["sharedb"],
+                 sw["lww"], sw["lwb"]]
+        C4 = sw["lww"].shape[-1]
+        specs += [resident(), const((C4, C)), const((1, C)),
+                  stream((C, C4)), stream((1, C4))]
+    if sr > 1:
+        Nkv = (H // sr) * (W // sr)
+        ssel = jnp.asarray(_sr_selector(bt, H, W, sr), x.dtype)
+        args += [ssel, sw["srw"], sw["srb"], sw["lnkv"]]
+        specs += [const((bt * Nkv, M)), stream((sr * sr * C, C)),
+                  stream((1, C)), stream((2, C))]
+    args += [sw["ln1"], sw["wkv"], sw["bkv"], sw["wq"], sw["bq"],
+             sw["wo"], sw["bo"], sw["ln2"], sw["w1"], sw["b1"],
+             sw["wdw"], sw["bdw"], sw["w2"], sw["b2"]]
+    specs += [stream((2, C)), stream((C, 2 * C)), stream((1, 2 * C)),
+              stream((C, C)), stream((1, C)), stream((C, C)), stream((1, C)),
+              stream((2, C)), stream((C, hidden)), stream((1, hidden)),
+              stream((9, hidden)), stream((1, hidden)),
+              stream((hidden, C)), stream((1, C))]
+
+    out = pl.pallas_call(
+        functools.partial(_stage_kernel, heads=heads, H=H, W=W, sr=sr, bt=bt,
+                          has_base=has_base, phases=phases),
+        grid=(G, g * phases),
+        in_specs=specs,
+        out_specs=resident(),
+        out_shape=jax.ShapeDtypeStruct((G, M, C), x.dtype),
+        interpret=interpret,
+    )(*args)
+    return out.reshape(B, N, C)
+
+
 # -- training path: fused forward + fused backward (custom VJP) ---------------
 #
 # The backbone training recipe freezes the whole MiT trunk (reference

@@ -141,6 +141,12 @@ def test_m2cai_splits(tmp_path):
     tr_all, va, te = make_splits(videos, scheme="m2cai_all")
     assert len(tr_all.num_each) == 41 and len(va.num_each) == 0 == len(te.num_each)
     assert va.labels.shape == (0, 9)
+    # split-aware video numbering (prediction txts are named by THESE ids,
+    # trans_SV_output.py:304-321): m2cai val = 28-34, test = 28-41 — a
+    # 41-offset would misname every output file
+    assert val.video_ids == list(range(28, 35))
+    assert test.video_ids == list(range(28, 42))
+    assert tr_all.video_ids == list(range(1, 42))
 
 
 def test_reference_pickle_roundtrip(tmp_path):
