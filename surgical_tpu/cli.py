@@ -246,7 +246,11 @@ def cmd_extract_features(args) -> int:
 
     from surgical_tpu.core.checkpoint import CheckpointStore
     from surgical_tpu.data.datasets import prefetch_batches
-    from surgical_tpu.train.extract import extract_to_store, make_raw_feature_fn
+    from surgical_tpu.train.extract import (
+        extract_to_store,
+        make_raw_feature_chain_fn,
+        make_raw_feature_fn,
+    )
 
     model, cfg, datasets = _backbone_and_data(args, "stage2")
     idx = _work_paths(args.work)["index"]
@@ -282,7 +286,13 @@ def cmd_extract_features(args) -> int:
         )
         variables = {**variables, **restored}
         print(f"restored backbone checkpoint step {step}")
-    fn = make_raw_feature_fn(model, variables)
+    # chained dispatch (production path of the BENCH headline): one jit call
+    # runs `chain_depth` batches via lax.scan so per-dispatch latency never
+    # drains the chip between batches; depth 1 falls back to per-batch
+    if args.chain_depth > 1:
+        fn = make_raw_feature_chain_fn(model, variables, depth=args.chain_depth)
+    else:
+        fn = make_raw_feature_fn(model, variables)
 
     for name, ds in datasets.items():
         num_each = np.load(os.path.join(idx, f"{name}_num_each.npy"))
@@ -295,6 +305,7 @@ def cmd_extract_features(args) -> int:
             batch_size=args.batch_size,
             directory=os.path.join(_work_paths(args.work)["lfb"], name),
             meta={"split": name},
+            chain_depth=args.chain_depth,
         )
         print(f"{name}: {stats['frames']} frames at {stats['fps']:.0f} fps")
         if args.reference_pickles:
@@ -732,6 +743,9 @@ def main(argv=None) -> int:
                          "(generate_evp_LFB.py handoff)")
     sp.add_argument("--no-flow", action="store_true")
     sp.add_argument("--reference-pickles", action="store_true")
+    sp.add_argument("--chain-depth", type=int, default=8,
+                    help="batches per jit dispatch (lax.scan chain); 1 = "
+                         "per-batch dispatch")
     sp.set_defaults(fn=cmd_extract_features)
 
     sp = sub.add_parser("train-temporal")

@@ -630,6 +630,9 @@ def fused_mit_block_packed2(
 
     hidden2 = packed["w1"].shape[1]
     CH = 128
+    # a non-multiple hidden width (custom mlp_ratio) would silently drop the
+    # tail hidden channels of the MLP chunk walk
+    assert hidden2 % CH == 0, (hidden2, CH)
     n_chunks = hidden2 // CH
 
     def bspec(shape, batched=True):
@@ -949,8 +952,8 @@ def fused_mit_stage(
     G = B // bt
     M = bt * N
 
-    resident = lambda: pl.BlockSpec((1, M, C), lambda i, j: (i, 0, 0),
-                                    memory_space=pltpu.VMEM)
+    resident = lambda ch=C: pl.BlockSpec((1, M, ch), lambda i, j: (i, 0, 0),
+                                         memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(
         shape, lambda i, j: tuple([0] * len(shape)), memory_space=pltpu.VMEM)
     midx = (lambda i, j: (j, 0, 0)) if phases == 1 else (
@@ -961,11 +964,15 @@ def fused_mit_stage(
     args = [x.reshape(G, M, C)]
     specs = [resident()]
     if has_base:
-        args += [base.reshape(G, M, C), sw["sharedw"], sw["sharedb"],
-                 sw["lww"], sw["lwb"]]
+        # base is the C/scale_factor-wide prompt embedding (PromptGenerator:
+        # lightweight_mlp Cb -> C4, shared_mlp C4 -> C)
+        Cb = base.shape[-1]
         C4 = sw["lww"].shape[-1]
-        specs += [resident(), const((C4, C)), const((1, C)),
-                  stream((C, C4)), stream((1, C4))]
+        assert sw["lww"].shape[1] == Cb, (sw["lww"].shape, Cb)
+        args += [base.reshape(G, M, Cb), sw["sharedw"], sw["sharedb"],
+                 sw["lww"], sw["lwb"]]
+        specs += [resident(Cb), const((C4, C)), const((1, C)),
+                  stream((Cb, C4)), stream((1, C4))]
     if sr > 1:
         Nkv = (H // sr) * (W // sr)
         ssel = jnp.asarray(_sr_selector(bt, H, W, sr), x.dtype)

@@ -25,8 +25,28 @@ from surgical_tpu.kernels.mit_block import (
     fused_mit_block,
     fused_mit_block_hb,
     fused_mit_block_packed2,
+    fused_mit_stage,
     pack_weights2,
+    stage_weights_from_params,
 )
+
+# Whole-stage fusion routing (round 3): stages whose blocks run as ONE
+# pallas call with the activation resident in VMEM and per-block weights
+# streamed (kernels/mit_block.fused_mit_stage). Probe data
+# (scripts/probe_stage_fusion.py): stages 3/4 are ~78-80% activation-DMA
+# at their block shapes, while streamed weights move at ~5-10x the
+# small-block rate. Stage 1 is excluded — its 8x8 stride-8 SR conv would
+# cost 64 full-resolution tap matmuls in-kernel — and stage 2's 16-tap SR
+# makes fusion roughly cost-neutral, so both keep the per-block path.
+_FUSE_STAGES: tuple = (3, 4)
+_FUSE_BT = {2: 2, 3: 4, 4: 8}
+_FUSE_PHASES = {2: 2, 3: 2, 4: 1}
+
+# 2-images-per-lane-row packed kernel for C=64 stages: measured ~3-5% faster
+# than the loop kernel but sits AT the 16 MB scoped-VMEM limit at N=3136 and
+# flips OOM with compile-to-compile variance (docs/kernel_notes.md packed2
+# postmortem) — unrouted until an in-kernel bounded-MLP mechanism exists.
+_ROUTE_PACKED2 = False
 from surgical_tpu.models.mit_evp import gaussian_blur_5x5
 from surgical_tpu.models.segformer_head import bilinear_resize
 
@@ -102,7 +122,8 @@ def _cross_attn(x_visual, x_flow, p, heads: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "head_cfg", "return_features", "bt")
+    jax.jit,
+    static_argnames=("cfg", "head_cfg", "return_features", "bt", "fuse_stages"),
 )
 def fused_forward(
     params: dict,
@@ -114,6 +135,7 @@ def fused_forward(
     head_cfg: HeadConfig,
     return_features: bool = True,
     bt: int = 8,
+    fuse_stages: tuple = _FUSE_STAGES,
 ):
     dt = jnp.bfloat16
     x = images.astype(dt)
@@ -131,12 +153,27 @@ def fused_forward(
         N, C = x.shape[1], x.shape[2]
 
         tuned = str(stage) in cfg.tuning_stage
+        base = None
         if tuned:
             hand = handcrafted[stage]
             emb = _dense(x, pg[f"embedding_generator{stage}"]) if cfg.embedding_tune else None
             base = hand + emb if (hand is not None and emb is not None) else (
                 hand if hand is not None else emb
             )
+
+        if stage in fuse_stages and B % _FUSE_BT[stage] == 0:
+            # whole-stage fused kernel: resident activation, streamed
+            # per-block weights, in-kernel SR/kv + prompt adds
+            sw = stage_weights_from_params(params, stage, cfg.depths[si], dt)
+            x = fused_mit_stage(
+                x, base if (tuned and base is not None) else None, sw,
+                heads=cfg.num_heads[si], H=H, W=W, sr=cfg.sr_ratios[si],
+                bt=_FUSE_BT[stage], phases=_FUSE_PHASES[stage],
+            )
+            x = _ln(x, params[f"norm{stage}"])
+            grids.append(x.reshape(B, H, W, C))
+            x = grids[-1]
+            continue
 
         for d in range(cfg.depths[si]):
             if tuned and base is not None:
@@ -159,14 +196,7 @@ def fused_forward(
             weights = jax.tree.map(
                 lambda a: jnp.asarray(a, dt), block_weights_from_params(bp)
             )
-            if False and C == 64 and cfg.num_heads[si] == 1 and B % 2 == 0:
-                # 2-images-per-lane-row packed kernel: measured ~3-5% faster
-                # for C=64 stages but sits at the 16 MB VMEM scoped limit at
-                # N=3136 and flips OOM with compile-to-compile variance
-                # (17.4 MB unrolled chunks / 19.6 MB fori chunks / 23% slower
-                # with chunks on the grid) — NOT routed until the MLP tail
-                # can be bounded without per-chunk grid overhead. The loop
-                # kernel below with in-kernel LN1 is within noise of it.
+            if _ROUTE_PACKED2 and C == 64 and cfg.num_heads[si] == 1 and B % 2 == 0:
                 x = fused_mit_block_packed2(
                     x, k, v, pack_weights2(weights), H=H, W=W,
                 )

@@ -178,6 +178,17 @@ class BackboneTrainer:
         batch_stats = variables.get("batch_stats", {})
         self._tx = build_optimizer(self.cfg.optim)
         train, _, _ = partition_params(params)
+        if self.use_fused:
+            # machine-check the fused-kernel invariant: the custom-VJP block
+            # kernels return structurally-ZERO weight cotangents, so a config
+            # that ever put trunk block/norm subtrees in the trainable
+            # partition would silently train nothing there
+            mask = trainable_mask(params)
+            for path, m in jax.tree_util.tree_leaves_with_path(mask):
+                names = "/".join(str(getattr(p, "key", p)) for p in path)
+                assert not (m and ("block" in names or names.startswith("norm"))), (
+                    f"--fused requires a frozen trunk, but {names} is trainable"
+                )
         opt_state = self._tx.init(train)
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1, 2))
         return meshlib.replicate(self.mesh, (params, batch_stats, opt_state))

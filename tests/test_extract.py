@@ -62,3 +62,35 @@ def test_extract_total_mismatch_raises(rng):
 
     with pytest.raises(AssertionError):
         extract_features(fake_feature_fn, make_batches(10, 4, rng), 12, 4, 4)
+
+
+def fake_chain_fn(img, seg, flow):
+    """[S, B, ...] superbatch -> [S, B, 4] fake features."""
+    S, B = img.shape[:2]
+    m = img.reshape(S, B, -1).mean(axis=2, keepdims=True)
+    return np.tile(m, (1, 1, 4)).astype(np.float32)
+
+
+def test_extract_features_chained_matches_per_batch(rng):
+    from surgical_tpu.train.extract import extract_features_chained
+
+    total, bs, depth = 37, 4, 3  # 10 batches: 3 superbatches + ragged tail
+    batches = list(make_batches(total, bs, rng))
+    want, _ = extract_features(fake_feature_fn, iter(batches), total, 4, bs)
+    got, stats = extract_features_chained(
+        fake_chain_fn, iter(batches), total, 4, bs, depth=depth
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    assert stats["dispatch_depth"] == depth
+
+
+def test_extract_features_chained_exact_multiple(rng):
+    from surgical_tpu.train.extract import extract_features_chained
+
+    total, bs, depth = 16, 4, 2  # exactly 2 superbatches, no tail
+    batches = list(make_batches(total, bs, rng))
+    want = np.concatenate([fake_feature_fn(*b) for b in batches])
+    got, _ = extract_features_chained(
+        fake_chain_fn, iter(batches), total, 4, bs, depth=depth
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6)

@@ -21,7 +21,7 @@ def test_fused_forward_matches_flax(rng):
     head = HeadConfig(embedding_dim=64, hidden=32)
     model = MiTEVP(cfg, head)  # fp32 flax reference
 
-    B = 2
+    B = 8  # divisible by every _FUSE_BT so the whole-stage route is exercised
     img = jnp.asarray(rng.standard_normal((B, 64, 64, 3)).astype(np.float32))
     seg = jnp.asarray(rng.standard_normal((B, 64, 64, 3)).astype(np.float32))
     flow = jnp.asarray(rng.standard_normal((B, 64, 64, 2)).astype(np.float32))
@@ -40,7 +40,8 @@ def test_fused_forward_matches_flax(rng):
             return orig(*args, **kw)
         return interp
 
-    saved = {n: getattr(mb, n) for n in ("fused_mit_block", "fused_mit_block_hb")}
+    saved = {n: getattr(mb, n)
+             for n in ("fused_mit_block", "fused_mit_block_hb", "fused_mit_stage")}
     try:
         for n, orig in saved.items():
             setattr(mb, n, wrap(orig))

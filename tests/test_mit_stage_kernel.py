@@ -20,6 +20,7 @@ from surgical_tpu.kernels.mit_block import (
 from surgical_tpu.models.mit_evp import MiTBlock
 
 B, H, W, C, HEADS, SR, DEPTH, C4 = 4, 8, 8, 16, 2, 2, 2, 4
+CB = 8  # prompt-base width (C // scale_factor in the real model)
 N = H * W
 STAGE = 3  # arbitrary stage number for param naming
 
@@ -107,7 +108,7 @@ def setup():
     pg = {}
     for d in range(DEPTH):
         pg[f"lightweight_mlp{STAGE}_{d}"] = {
-            "kernel": rng.standard_normal((C, C4)).astype(np.float32) * 0.3,
+            "kernel": rng.standard_normal((CB, C4)).astype(np.float32) * 0.3,
             "bias": rng.standard_normal((C4,)).astype(np.float32) * 0.1,
         }
     pg[f"shared_mlp{STAGE}"] = {
@@ -115,7 +116,7 @@ def setup():
         "bias": rng.standard_normal((C,)).astype(np.float32) * 0.1,
     }
     params["prompt_generator"] = pg
-    base = jnp.asarray(rng.standard_normal((B, N, C)).astype(np.float32) * 0.5)
+    base = jnp.asarray(rng.standard_normal((B, N, CB)).astype(np.float32) * 0.5)
     want = _reference_stage(params, x0, base)
     sw = stage_weights_from_params(params, STAGE, DEPTH, dtype=jnp.float32)
     return params, x0, base, want, sw
@@ -138,14 +139,14 @@ def test_stage_kernel_no_base(setup):
     p2 = {k: v for k, v in params.items() if k != "prompt_generator"}
     pg_zero = {
         f"lightweight_mlp{STAGE}_{d}": {
-            "kernel": np.zeros((C, C4), np.float32),
+            "kernel": np.zeros((CB, C4), np.float32),
             "bias": np.zeros((C4,), np.float32)}
         for d in range(DEPTH)
     }
     pg_zero[f"shared_mlp{STAGE}"] = {"kernel": np.zeros((C4, C), np.float32),
                                      "bias": np.zeros((C,), np.float32)}
     want = _reference_stage({**p2, "prompt_generator": pg_zero}, x0,
-                            jnp.zeros_like(x0))
+                            jnp.zeros((B, N, CB), jnp.float32))
     got = fused_mit_stage(
         x0, None, sw, heads=HEADS, H=H, W=W, sr=SR, bt=2, phases=1,
         interpret=True,

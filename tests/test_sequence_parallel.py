@@ -84,3 +84,46 @@ def test_sp_generic_pytree_inputs(mesh8):
                                   time_axis=-2, out_prefix_rank=1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_sp_mamba_matches_single_device(mesh8):
+    """Time-sharded Mamba: inter-device state handoff must reproduce the
+    single-device recurrence (closes the sequence.py Mamba exclusion)."""
+    from surgical_tpu.core.config import MambaConfig
+    from surgical_tpu.models.mamba import CausalMambaModel
+    from surgical_tpu.parallel.sequence import sp_mamba_infer
+
+    cfg = MambaConfig(layers=2, d_model=16, f_dim=24, d_state=8, d_conv=4,
+                      dropout=0.0)
+    model = CausalMambaModel(cfg, backend="xla")
+    T = 256
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((T, cfg.f_dim)).astype(np.float32))
+    params = model.init(jax.random.key(2), x[None])
+
+    want = model.apply(params, x[None])[0, 0]  # [T, out]
+    got = sp_mamba_infer(model, params, x, mesh8)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_sp_mamba_long_decay_state(mesh8):
+    """A long chunk (large cumulative dt decay) must not overflow/underflow
+    the closed-form chunk-transition exponentials."""
+    from surgical_tpu.core.config import MambaConfig
+    from surgical_tpu.models.mamba import CausalMambaModel
+    from surgical_tpu.parallel.sequence import sp_mamba_infer
+
+    cfg = MambaConfig(layers=1, d_model=8, f_dim=8, d_state=4, d_conv=2,
+                      dropout=0.0)
+    model = CausalMambaModel(cfg, backend="xla")
+    T = 1024  # Tl = 128 per device
+    rng = np.random.default_rng(3)
+    x = jnp.asarray((rng.standard_normal((T, cfg.f_dim)) * 2).astype(np.float32))
+    params = model.init(jax.random.key(4), x[None])
+    want = model.apply(params, x[None])[0, 0]
+    got = sp_mamba_infer(model, params, x, mesh8)
+    assert np.isfinite(np.asarray(got)).all()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-4)
