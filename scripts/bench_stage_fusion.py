@@ -58,7 +58,7 @@ def main():
         return chain
 
     report = {"B": B, "device": str(jax.devices()[0])}
-    for fuse in [(), (3,), (3, 4), (2, 3, 4)]:
+    for fuse in [(), (4,), (3,), (3, 4)]:
         chain = make_chain(fuse)
         try:
             _ = np.asarray(chain(variables, img, seg, flw, iters=ITERS))

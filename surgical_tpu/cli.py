@@ -105,8 +105,14 @@ def _backbone_and_data(args, split_scheme: str):
         ant_cols = (8, 15) if labels.shape[1] == 15 else (1, labels.shape[1])
         datasets[name] = ClipDataset(paths, labels, with_flow=not args.no_flow,
                                      ant_cols=ant_cols)
-    cfg = BackboneConfig.preset(args.variant, with_flow=not args.no_flow)
+    overrides = {"with_flow": not args.no_flow}
+    if getattr(args, "depths", None):
+        overrides["depths"] = tuple(int(d) for d in args.depths.split(","))
+    cfg = BackboneConfig.preset(args.variant, **overrides)
     head = HeadConfig(embedding_dim=32, hidden=16) if args.variant == "tiny" else HeadConfig()
+    if getattr(args, "head_dim", None):
+        head = HeadConfig(embedding_dim=args.head_dim,
+                          hidden=args.head_hidden or head.hidden)
     model = MiTEVP(cfg, head, compute_dtype=jnp.bfloat16)
     return model, cfg, datasets
 
@@ -294,7 +300,11 @@ def cmd_extract_features(args) -> int:
     else:
         fn = make_raw_feature_fn(model, variables)
 
+    wanted = [s.strip() for s in getattr(args, "splits", "").split(",") if s.strip()] \
+        or list(datasets)
     for name, ds in datasets.items():
+        if name not in wanted:
+            continue
         num_each = np.load(os.path.join(idx, f"{name}_num_each.npy"))
         batches = (
             (i, s, f)
@@ -487,6 +497,112 @@ def cmd_evaluate(args) -> int:
     print(f"Mean Jaccard:   {res.mean_jacc:.2f} ± {res.std_jacc:.2f}")
     print(f"Mean Precision: {res.mean_prec:.2f} ± {res.std_prec:.2f}")
     print(f"Mean Recall:    {res.mean_rec:.2f} ± {res.std_rec:.2f}")
+    return 0
+
+
+def cmd_reference_parity(args) -> int:
+    """Turnkey reference-quality drive: given the reference's data layout
+    (``cutMargin/`` + ``phase_annotations/`` [+ masks/flow]) and its three
+    trained checkpoints — stage-2 EVP backbone (.pth), MultiStageModel_S
+    temporal (.pth, trans_SV_output.py:196-201), refiner Transformer (.pth,
+    trans_SV_output.py:205-211) — runs index -> LFB extraction -> temporal ->
+    refiner -> predict -> relaxed evaluation and emits the BASELINE.md quality
+    table (trans_SV_output_log.txt:62; ESIP relaxed tables). Model dims are
+    inferred from the checkpoints; no dim flags needed for the shipped
+    reference files."""
+    import jax
+    import jax.numpy as jnp
+
+    from surgical_tpu.core.config import MSTCNConfig, RefinerConfig, TrainConfig
+    from surgical_tpu.eval.relaxed import evaluate_videos
+    from surgical_tpu.models.convert import (
+        import_mstcn_state_dict,
+        import_refiner_state_dict,
+        infer_mstcn_dims,
+        infer_refiner_dims,
+        load_torch_pth,
+    )
+    from surgical_tpu.models.mstcn import MultiStageTCN
+    from surgical_tpu.models.transsv import RefinementTransformer
+    from surgical_tpu.train.refiner import RefinerTrainer, predict_and_write
+
+    idx = _work_paths(args.work)["index"]
+    if not os.path.exists(os.path.join(idx, "test_labels.npy")):
+        rc = main(["prepare-data", "--root", args.root, "--out", args.work,
+                   "--num-videos", str(args.num_videos), "--scheme", args.scheme])
+        assert rc == 0, "prepare-data failed"
+
+    # LFB extraction with the imported stage-2 EVP weights (the expensive
+    # leg; idempotent — existing stores are reused unless --force-extract)
+    lfb = _work_paths(args.work)["lfb"]
+    need = [s for s in ("val", "test")
+            if args.force_extract
+            or not os.path.exists(os.path.join(lfb, s, "manifest.json"))]
+    if need:
+        cmd = ["extract-features", "--work", args.work, "--variant", args.variant,
+               "--pretrained-evp", args.evp, "--splits", ",".join(need),
+               "--batch-size", str(args.batch_size),
+               "--chain-depth", str(args.chain_depth)]
+        if args.no_flow:
+            cmd.append("--no-flow")
+        if getattr(args, "depths", None):
+            cmd += ["--depths", args.depths]
+        if getattr(args, "head_dim", None):
+            cmd += ["--head-dim", str(args.head_dim)]
+        if getattr(args, "head_hidden", None):
+            cmd += ["--head-hidden", str(args.head_hidden)]
+        rc = main(cmd)
+        assert rc == 0, "extract-features failed"
+    else:
+        print("reusing existing LFB stores (pass --force-extract to redo)")
+
+    tsd = load_torch_pth(args.temporal)
+    td = infer_mstcn_dims(tsd)
+    print(f"temporal checkpoint: {td}")
+    temporal = MultiStageTCN(MSTCNConfig(dropout=0.0, **td))
+    tparams = jax.tree.map(jnp.asarray,
+                           import_mstcn_state_dict(tsd, td["stages"], td["layers"]))
+
+    rsd = load_torch_pth(args.refiner)
+    rd = infer_refiner_dims(rsd)
+    print(f"refiner checkpoint: {rd}")
+    refiner = RefinementTransformer(RefinerConfig(len_q=args.len_q, **rd))
+    rparams = jax.tree.map(jnp.asarray,
+                           import_refiner_state_dict(rsd, n_layers=rd["n_layers"]))
+
+    trainer = RefinerTrainer(temporal, refiner, TrainConfig())
+    report = {}
+    for split in ("val", "test"):
+        ds = _load_split(args.work, split)
+        vids = _split_video_ids(args.work, split, ds.num_videos)
+        out_dir = os.path.join(_work_paths(args.work)["output"], split.capitalize())
+        metrics, preds, _ = predict_and_write(trainer, tparams, rparams, ds, out_dir, vids)
+        gts = [ds.labels_phase[s: s + n]
+               for s, n in zip(ds.starts, ds.lengths)]
+        res = evaluate_videos(gts, preds)
+        report[split] = {
+            **{k: float(v) for k, v in metrics.items() if np.isscalar(v)},
+            "relaxed_acc": res.mean_acc, "relaxed_acc_std": res.std_acc,
+            "relaxed_jacc": res.mean_jacc, "relaxed_jacc_std": res.std_jacc,
+            "relaxed_prec": res.mean_prec, "relaxed_prec_std": res.std_prec,
+            "relaxed_rec": res.mean_rec, "relaxed_rec_std": res.std_rec,
+        }
+
+    out_path = os.path.join(args.work, "reference_parity.json")
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=2)
+    print("\n== reference-parity quality table (compare BASELINE.md) ==")
+    print(f"{'split':<6} {'acc_frame':>9} {'acc_video':>9} "
+          f"{'inMAE':>7} {'pMAE':>7} {'eMAE':>7}")
+    for split, m in report.items():
+        print(f"{split:<6} {m['acc_frame']:9.4f} {m['acc_video']:9.4f} "
+              f"{m['inMAE']:7.4f} {m['pMAE']:7.4f} {m['eMAE']:7.4f}")
+    m = report["test"]
+    print(f"relaxed (test): Acc {m['relaxed_acc']:.2f}±{m['relaxed_acc_std']:.2f}  "
+          f"Jacc {m['relaxed_jacc']:.2f}±{m['relaxed_jacc_std']:.2f}  "
+          f"Prec {m['relaxed_prec']:.2f}±{m['relaxed_prec_std']:.2f}  "
+          f"Rec {m['relaxed_rec']:.2f}±{m['relaxed_rec_std']:.2f}")
+    print(f"report -> {out_path}")
     return 0
 
 
@@ -746,7 +862,43 @@ def main(argv=None) -> int:
     sp.add_argument("--chain-depth", type=int, default=8,
                     help="batches per jit dispatch (lax.scan chain); 1 = "
                          "per-batch dispatch")
+    sp.add_argument("--splits", default="",
+                    help="comma list of splits to extract (default: all)")
+    sp.add_argument("--depths", default=None,
+                    help="override backbone depths, e.g. '2,1,1,1' (matching "
+                         "a non-preset checkpoint)")
+    sp.add_argument("--head-dim", type=int, default=None)
+    sp.add_argument("--head-hidden", type=int, default=None)
     sp.set_defaults(fn=cmd_extract_features)
+
+    sp = sub.add_parser(
+        "reference-parity",
+        help="one-command quality drive from the reference's data + .pth "
+             "checkpoints to the BASELINE quality table")
+    sp.add_argument("--root", required=True,
+                    help="data root with cutMargin/ + phase_annotations/ "
+                         "(+ ss_Bimasks_pos_ep10/, raft_flow_npy/)")
+    sp.add_argument("--work", required=True)
+    sp.add_argument("--evp", required=True, help="stage-2 EVP .pth")
+    sp.add_argument("--temporal", required=True,
+                    help="MultiStageModel_S .pth (e.g. TeCNOevp_epoch_4.pth)")
+    sp.add_argument("--refiner", required=True,
+                    help="Transformer .pth (e.g. TeCNOevp_trans1_3_5_1_*.pth)")
+    sp.add_argument("--variant", default="b3")
+    sp.add_argument("--batch-size", type=int, default=200)
+    sp.add_argument("--chain-depth", type=int, default=8)
+    sp.add_argument("--num-videos", type=int, default=80)
+    sp.add_argument("--scheme",
+                    choices=["stage1", "stage2", "m2cai", "m2cai_all", "smoke"],
+                    default="stage2")
+    sp.add_argument("--len-q", type=int, default=30,
+                    help="refiner sliding window (trans_SV_output.py:157)")
+    sp.add_argument("--no-flow", action="store_true")
+    sp.add_argument("--force-extract", action="store_true")
+    sp.add_argument("--depths", default=None)
+    sp.add_argument("--head-dim", type=int, default=None)
+    sp.add_argument("--head-hidden", type=int, default=None)
+    sp.set_defaults(fn=cmd_reference_parity)
 
     sp = sub.add_parser("train-temporal")
     sp.add_argument("--work", required=True)

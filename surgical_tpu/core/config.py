@@ -134,11 +134,12 @@ class BackboneConfig:
     def preset(variant: str, **overrides: Any) -> "BackboneConfig":
         if variant == "tiny":
             # CI/smoke preset: full architecture at minimal width
-            return BackboneConfig(
+            base = dict(
                 variant="tiny", embed_dims=(8, 16, 24, 32),
                 num_heads=(1, 2, 4, 8), depths=(1, 1, 1, 1),
-                drop_path_rate=0.0, **overrides,
+                drop_path_rate=0.0,
             )
+            return BackboneConfig(**{**base, **overrides})
         depths = {
             "b0": (2, 2, 2, 2),
             "b1": (2, 2, 2, 2),

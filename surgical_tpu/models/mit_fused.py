@@ -38,7 +38,12 @@ from surgical_tpu.kernels.mit_block import (
 # small-block rate. Stage 1 is excluded — its 8x8 stride-8 SR conv would
 # cost 64 full-resolution tap matmuls in-kernel — and stage 2's 16-tap SR
 # makes fusion roughly cost-neutral, so both keep the per-block path.
-_FUSE_STAGES: tuple = (3, 4)
+# Stage 3 is excluded too: fused_mit_stage(3) compiles standalone but the
+# tpu_compile_helper crashes (HTTP 500, subprocess exit 1) whenever it is
+# embedded in the full serving graph — reproduced across two sessions with
+# TPU_ACCELERATOR_TYPE set (scripts/bench_stage_fusion.py). Measured A/B at
+# B=128: () 2570 fps, (4,) 2618 fps median, so (4,) is routed.
+_FUSE_STAGES: tuple = (4,)
 _FUSE_BT = {2: 2, 3: 4, 4: 8}
 _FUSE_PHASES = {2: 2, 3: 2, 4: 1}
 
