@@ -58,7 +58,8 @@ def main():
         return chain
 
     report = {"B": B, "device": str(jax.devices()[0])}
-    for fuse in [(), (4,), (3,), (3, 4)]:
+    variants = eval(os.environ.get("BENCH_FUSE_VARIANTS", "[(), (4,), (3,), (3, 4)]"))
+    for fuse in variants:
         chain = make_chain(fuse)
         try:
             _ = np.asarray(chain(variables, img, seg, flw, iters=ITERS))

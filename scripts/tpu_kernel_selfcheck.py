@@ -27,6 +27,7 @@ from surgical_tpu.kernels.mit_block import (
     fused_mit_block,
     fused_mit_block_hb,
     fused_mit_block_train,
+    fused_mit_stage,
 )
 
 
@@ -150,6 +151,42 @@ def main():
     )(x, xln, k, v)
     for nm, a, b in zip(("dx", "dxln", "dk", "dv"), g_ref, g_fus):
         all_ok &= check(f"bwd {nm} f32", b, a, 5e-3, 5e-4)
+
+    # whole-stage kernel: Mosaic lowering vs the interpret-mode baseline
+    # (interpret is the side the CPU suite verified against a straight-line
+    # f64 reference, test_mit_stage_kernel.py) — isolates lowering exactly
+    for dtype, rtol, atol in ((jnp.float32, 5e-3, 5e-4),
+                              (jnp.bfloat16, 4e-2, 1e-2)):
+        heads, sr, depth = 2, 2, 2
+        B, H, W = 4, 8, 8
+        C = heads * 64
+        hidden = 4 * C
+        Cb, C4 = 32, C // 4
+        N = H * W
+        r = lambda *s: jnp.asarray(
+            rng.standard_normal(s).astype(np.float32) * 0.1, dtype)
+        ln = lambda: jnp.stack([jnp.stack([1.0 + 0.1 * r(C), r(C)])
+                                for _ in range(depth)])
+        st = lambda *shape: jnp.stack([r(*shape) for _ in range(depth)])
+        row = lambda n: jnp.stack([r(1, n) for _ in range(depth)])
+        sw = {
+            "ln1": ln(), "ln2": ln(),
+            "wq": st(C, C), "bq": row(C), "wo": st(C, C), "bo": row(C),
+            "w1": st(C, hidden), "b1": row(hidden),
+            "wdw": st(9, hidden), "bdw": row(hidden),
+            "w2": st(hidden, C), "b2": row(C),
+            "wkv": st(C, 2 * C), "bkv": row(2 * C),
+            "srw": st(sr * sr * C, C), "srb": row(C), "lnkv": ln(),
+            "lww": st(Cb, C4), "lwb": row(C4),
+            "sharedw": r(C4, C), "sharedb": r(1, C),
+        }
+        x = r(B, N, C) * 5
+        base = r(B, N, Cb) * 3
+        kw = dict(heads=heads, H=H, W=W, sr=sr, bt=2, phases=2)
+        want = fused_mit_stage(x, base, sw, interpret=True, **kw)
+        got = fused_mit_stage(x, base, sw, **kw)
+        tag = "f32" if dtype == jnp.float32 else "bf16"
+        all_ok &= check(f"stage  {tag}", got, want, rtol, atol)
 
     print("ALL OK" if all_ok else "FAILURES PRESENT", flush=True)
     return 0 if all_ok else 1

@@ -87,14 +87,10 @@ def _temporal_model(kind: str):
     return MultiStageTCN(MSTCNConfig())
 
 
-def _backbone_and_data(args, split_scheme: str):
+def _clip_datasets(args) -> dict:
     import json as _json
 
-    import jax.numpy as jnp
-
-    from surgical_tpu.core.config import BackboneConfig, HeadConfig
     from surgical_tpu.data.datasets import ClipDataset
-    from surgical_tpu.models.mit_evp import MiTEVP
 
     idx = _work_paths(args.work)["index"]
     datasets = {}
@@ -105,6 +101,16 @@ def _backbone_and_data(args, split_scheme: str):
         ant_cols = (8, 15) if labels.shape[1] == 15 else (1, labels.shape[1])
         datasets[name] = ClipDataset(paths, labels, with_flow=not args.no_flow,
                                      ant_cols=ant_cols)
+    return datasets
+
+
+def _backbone_and_data(args, split_scheme: str):
+    import jax.numpy as jnp
+
+    from surgical_tpu.core.config import BackboneConfig, HeadConfig
+    from surgical_tpu.models.mit_evp import MiTEVP
+
+    datasets = _clip_datasets(args)
     overrides = {"with_flow": not args.no_flow}
     if getattr(args, "depths", None):
         overrides["depths"] = tuple(int(d) for d in args.depths.split(","))
@@ -202,14 +208,22 @@ def cmd_train_backbone(args) -> int:
     }
     train_ds = datasets["train"]
     n_frames = len(train_ds)
-    # Materialize a few val batches once for cheap mid-epoch validation.
-    midval = None
-    if args.midval_batches > 0 and len(datasets["val"]):
-        midval = []
-        for b in _eval_batches(datasets["val"], args.batch_size):
-            midval.append(b)
-            if len(midval) >= args.midval_batches:
-                break
+
+    def _midval_batches(epoch: int):
+        """FRESH random val minibatches each epoch — the reference draws
+        from a shuffled val loader at every mid-epoch validation
+        (train_evp.py:526-564), so the sample must not be reused."""
+        if args.midval_batches <= 0 or not len(datasets["val"]):
+            return None
+        rng = np.random.default_rng([17, epoch])
+        take = rng.permutation(len(datasets["val"]))[
+            : args.midval_batches * args.batch_size]
+        return [
+            (i, s, f, p.astype(np.int32), a)
+            for (i, s, f, p, a) in prefetch_batches(
+                datasets["val"], take, args.batch_size)
+        ]
+
     for epoch in range(start_epoch, args.epochs):
         sampler = ClipSampler(1, clip_start_indices(1, num_each["train"].tolist()
                                                     if len(num_each["train"]) else [n_frames]))
@@ -220,7 +234,7 @@ def cmd_train_backbone(args) -> int:
         )
         state, tm = trainer.train_epoch(
             state, batches, jax.random.key(1), epoch,
-            val_batches=midval, logger=logger,
+            val_batches=_midval_batches(epoch), logger=logger,
         )
         vm = trainer.evaluate(state, _eval_batches(datasets["val"], args.batch_size),
                               num_each=num_each["val"])
@@ -242,6 +256,24 @@ def cmd_train_backbone(args) -> int:
             print(f"early stop: train loss below {args.early_stop_loss}")
             break
     print("best epoch:", store.best_step("val_acc"))
+    return 0
+
+
+def cmd_cache_frames(args) -> int:
+    """Build packed pre-decoded frame caches (FrameCache): pays the JPEG
+    decode cost once so extraction's host input leg runs at memmap-read
+    bandwidth (the reference's CholecSegmapDataset1 disk-cache idea,
+    data_process.py:327-393, done TPU-style). Resumable."""
+    from surgical_tpu.data.datasets import FrameCache
+
+    datasets = _clip_datasets(args)
+    splits = [s.strip() for s in args.splits.split(",") if s.strip()] \
+        or list(datasets)
+    out_root = args.out or os.path.join(args.work, "frame_cache")
+    for name in splits:
+        d = os.path.join(out_root, name)
+        fc = FrameCache.build(datasets[name], d, batch_size=args.batch_size)
+        print(f"{name}: {len(fc)} frames cached -> {d}")
     return 0
 
 
@@ -302,21 +334,46 @@ def cmd_extract_features(args) -> int:
 
     wanted = [s.strip() for s in getattr(args, "splits", "").split(",") if s.strip()] \
         or list(datasets)
+    if getattr(args, "frame_cache", None):
+        # packed pre-decoded memmap cache (cache-frames stage): the host
+        # input leg reads at page-cache bandwidth instead of decode speed
+        from surgical_tpu.data.datasets import FrameCache
+
+        for name in list(datasets):
+            d = os.path.join(args.frame_cache, name)
+            if FrameCache.exists(d):
+                datasets[name] = FrameCache(d)
+                print(f"{name}: serving frames from cache {d}")
     for name, ds in datasets.items():
         if name not in wanted:
             continue
         num_each = np.load(os.path.join(idx, f"{name}_num_each.npy"))
-        batches = (
-            (i, s, f)
-            for (i, s, f, _p, _a) in prefetch_batches(ds, np.arange(len(ds)), args.batch_size)
-        )
-        fstore, stats = extract_to_store(
-            fn, batches, num_each.tolist(), feature_dim=model.head_cfg.embedding_dim,
-            batch_size=args.batch_size,
-            directory=os.path.join(_work_paths(args.work)["lfb"], name),
-            meta={"split": name},
-            chain_depth=args.chain_depth,
-        )
+        def _run(fn_, depth):
+            batches = (
+                (i, s, f)
+                for (i, s, f, _p, _a) in prefetch_batches(
+                    ds, np.arange(len(ds)), args.batch_size)
+            )
+            return extract_to_store(
+                fn_, batches, num_each.tolist(),
+                feature_dim=model.head_cfg.embedding_dim,
+                batch_size=args.batch_size,
+                directory=os.path.join(_work_paths(args.work)["lfb"], name),
+                meta={"split": name},
+                chain_depth=depth,
+            )
+
+        try:
+            fstore, stats = _run(fn, args.chain_depth)
+        except Exception as e:  # noqa: BLE001
+            # Degrade, don't die: if the chained superbatch graph fails to
+            # compile (compiler/VMEM limits vary per backend), fall back to
+            # per-batch dispatch — slower, never wrong.
+            if args.chain_depth <= 1:
+                raise
+            print(f"chained extraction failed ({str(e)[:120]}); "
+                  "retrying per-dispatch", file=sys.stderr)
+            fstore, stats = _run(make_raw_feature_fn(model, variables), 1)
         print(f"{name}: {stats['frames']} frames at {stats['fps']:.0f} fps")
         if args.reference_pickles:
             fstore.to_reference_pickle(
@@ -843,8 +900,12 @@ def main(argv=None) -> int:
     sp.add_argument("--midval-batches", type=int, default=2,
                     help="val batches for mid-epoch validation (0 disables)")
     sp.add_argument("--fused", action="store_true",
-                    help="run the frozen trunk through the fused Pallas "
-                         "train kernels (forward+backward custom VJP)")
+                    help="EXPERIMENTAL: run the frozen trunk through the "
+                         "fused Pallas train kernels (forward+backward "
+                         "custom VJP). Grad-parity-tested, but measured "
+                         "SLOWER than XLA autodiff at b3/B=88 (fwd+bwd "
+                         "119.8 vs 90.1 ms — docs/kernel_notes.md "
+                         "train-path findings); may win on larger variants")
     sp.set_defaults(fn=cmd_train_backbone)
 
     sp = sub.add_parser("extract-features")
@@ -869,7 +930,22 @@ def main(argv=None) -> int:
                          "a non-preset checkpoint)")
     sp.add_argument("--head-dim", type=int, default=None)
     sp.add_argument("--head-hidden", type=int, default=None)
+    sp.add_argument("--frame-cache", default=None,
+                    help="packed frame-cache root (cache-frames output); "
+                         "splits with a cache are served from it")
     sp.set_defaults(fn=cmd_extract_features)
+
+    sp = sub.add_parser(
+        "cache-frames",
+        help="pre-decode frames into packed memmap caches (host input leg "
+             "at memmap bandwidth)")
+    sp.add_argument("--work", required=True)
+    sp.add_argument("--out", default=None,
+                    help="cache root (default <work>/frame_cache)")
+    sp.add_argument("--splits", default="")
+    sp.add_argument("--batch-size", type=int, default=256)
+    sp.add_argument("--no-flow", action="store_true")
+    sp.set_defaults(fn=cmd_cache_frames)
 
     sp = sub.add_parser(
         "reference-parity",

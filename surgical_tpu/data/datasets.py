@@ -12,7 +12,9 @@ Component map (SURVEY §2.2):
 - T3  SeqSampler              -> ``ClipSampler`` (clip-expanded flat index list)
 - T4/T5/T8 Cholec*Dataset     -> ``ClipDataset`` (img+segmap+flow+labels)
 - T6  M2caiSegmapDataset      -> ``ClipDataset(ant_cols=...)`` (8-phase layout)
-- T7  CholecSegmapDataset1    -> ``DiskCache`` (decoded-array cache)
+- T7  CholecSegmapDataset1    -> ``DiskCache`` (per-frame decoded-array cache)
+                                 + ``FrameCache`` (packed memmap cache: the
+                                 production host input leg)
 - T9  CholecNoiseDataset      -> ``ClipDataset(noise_segmap=True)`` ablation
 - T10 get_useful_start_idx    -> ``clip_start_indices``
 """
@@ -234,3 +236,107 @@ def prefetch_batches(
                 next_submit += 1
     finally:
         pool.shutdown(wait=False, cancel_futures=True)
+
+
+class FrameCache:
+    """Packed pre-decoded frame cache: the reference's disk-cache idea
+    (``CholecSegmapDataset1``, data_process.py:327-393) done TPU-style — one
+    contiguous memmap per modality (uint8 images/segmaps, fp16 flow) plus the
+    label table, so the host input leg of extraction reads batches at
+    page-cache/disk bandwidth instead of JPEG-decode speed. Decode cost is
+    paid ONCE (``build``); after that a 1-core host feeds the chip.
+
+    Serves the same ``.frames(indices)`` wire-format contract as
+    ``ClipDataset``, so ``prefetch_batches`` and the extraction path take it
+    as a drop-in source.
+    """
+
+    MANIFEST = "manifest.json"
+    PROGRESS = "progress.json"
+
+    def __init__(self, directory: str):
+        import json
+
+        with open(os.path.join(directory, self.MANIFEST)) as f:
+            self.meta = json.load(f)
+        self.directory = directory
+        mm = lambda name: np.load(os.path.join(directory, name), mmap_mode="r")
+        self.imgs = mm("img.npy")
+        self.segs = mm("seg.npy")
+        self.flow = mm("flow.npy") if self.meta["with_flow"] else None
+        self.labels = np.load(os.path.join(directory, "labels.npy"))
+        self.ant_cols = tuple(self.meta["ant_cols"])
+
+    def __len__(self) -> int:
+        return self.imgs.shape[0]
+
+    def frames(self, indices: Sequence[int]):
+        idx = np.asarray(indices)
+        a0, a1 = self.ant_cols
+        return (
+            np.asarray(self.imgs[idx]),
+            np.asarray(self.segs[idx]),
+            np.asarray(self.flow[idx]) if self.flow is not None else None,
+            self.labels[idx, 0].astype(np.int32),
+            self.labels[idx, a0:a1].astype(np.float32),
+        )
+
+    @classmethod
+    def exists(cls, directory: str) -> bool:
+        return os.path.exists(os.path.join(directory, cls.MANIFEST))
+
+    @classmethod
+    def build(
+        cls,
+        ds: "ClipDataset",
+        directory: str,
+        batch_size: int = 256,
+        log_every: int = 20,
+    ) -> "FrameCache":
+        """Decode the whole dataset once into packed memmaps. Resumable: a
+        progress marker records the next frame index; re-running continues
+        (the flow driver's publish/skip discipline, RAFT.py:228-245)."""
+        import json
+
+        from numpy.lib.format import open_memmap
+
+        if cls.exists(directory):
+            return cls(directory)
+        os.makedirs(directory, exist_ok=True)
+        n, r = len(ds), ds.resize
+        prog_path = os.path.join(directory, cls.PROGRESS)
+        done = 0
+        if os.path.exists(prog_path):
+            with open(prog_path) as f:
+                done = json.load(f)["done"]
+        mode = "r+" if done else "w+"
+        arr = lambda name, shape, dt: open_memmap(
+            os.path.join(directory, name), mode=mode, dtype=dt, shape=shape)
+        imgs = arr("img.npy", (n, r, r, 3), np.uint8)
+        segs = arr("seg.npy", (n, r, r, 1), np.uint8)
+        flow = arr("flow.npy", (n, r, r, 2), np.float16) if ds.with_flow else None
+        for b, start in enumerate(range(done, n, batch_size)):
+            idx = np.arange(start, min(start + batch_size, n))
+            im, sg, fl, _p, _a = ds.frames(idx)
+            imgs[idx] = im
+            segs[idx] = sg
+            if flow is not None:
+                flow[idx] = fl
+            with open(prog_path + ".tmp", "w") as f:
+                json.dump({"done": int(idx[-1]) + 1}, f)
+            os.replace(prog_path + ".tmp", prog_path)
+            if b % log_every == 0:
+                logger.info("frame cache %s: %d/%d", directory, idx[-1] + 1, n)
+        imgs.flush()
+        segs.flush()
+        if flow is not None:
+            flow.flush()
+        np.save(os.path.join(directory, "labels.npy"), np.asarray(ds.labels))
+        manifest = {"frames": n, "resize": r, "with_flow": ds.with_flow,
+                    "ant_cols": list(ds.ant_cols), "version": 1}
+        with open(os.path.join(directory, cls.MANIFEST + ".tmp"), "w") as f:
+            json.dump(manifest, f)
+        os.replace(os.path.join(directory, cls.MANIFEST + ".tmp"),
+                   os.path.join(directory, cls.MANIFEST))
+        os.remove(prog_path)
+        return cls(directory)

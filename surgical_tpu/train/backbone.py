@@ -143,11 +143,15 @@ class BackboneTrainer:
         self.aug_cfg = aug_cfg or AugConfig()
         self.mesh = mesh if mesh is not None else meshlib.make_mesh()
         self.val_every = val_every
-        # Route the frozen trunk through the fused Pallas train kernels
-        # (forward AND backward — kernels/mit_block.fused_mit_block_train).
+        # EXPERIMENTAL: route the frozen trunk through the fused Pallas train
+        # kernels (forward AND backward — kernels/mit_block.fused_mit_block_
+        # train). Grad parity holds to 1e-4, but at b3/B=88 the flash-style
+        # recompute backward measured SLOWER than XLA autodiff (fwd+bwd
+        # 119.8 vs 90.1 ms, docs/kernel_notes.md train-path findings) —
+        # keep False unless profiling a larger variant shows a win.
         # Valid ONLY under the reference's frozen-trunk recipe: the fused
         # blocks return zero weight cotangents, and partition_params
-        # guarantees those are never consumed.
+        # guarantees those are never consumed (asserted at step build).
         self.use_fused = use_fused
         self._mean = jnp.asarray(CHOLEC80_MEAN, jnp.float32) * 255.0
         self._inv_std = 1.0 / (jnp.asarray(CHOLEC80_STD, jnp.float32) * 255.0)

@@ -49,7 +49,37 @@ def make_feature_fn(model, variables, mesh=None):
     return wrapped
 
 
-def make_raw_feature_fn(model, variables, mesh=None):
+def _use_fused_default(model, mesh) -> bool:
+    """Route the fused Pallas serving graph (models/mit_fused.fused_forward,
+    the BENCH headline path) when extraction runs on ONE accelerator device
+    with a preset-size backbone. Multi-device meshes keep the flax graph —
+    XLA partitions it over the batch sharding, while a pallas_call is a
+    custom call XLA cannot split. CPU (tests) keeps the flax graph too."""
+    n_dev = int(np.prod(mesh.devices.shape))
+    return (
+        n_dev == 1
+        and jax.default_backend() != "cpu"
+        and getattr(getattr(model, "cfg", None), "variant", "") != "tiny"
+    )
+
+
+def _serving_forward(model, use_fused):
+    if not use_fused:
+        return lambda variables, img, seg, flow: model.apply(
+            variables, img, seg, flow, return_features=True)
+
+    from surgical_tpu.models.mit_fused import fused_forward
+
+    def fn(variables, img, seg, flow):
+        return fused_forward(
+            variables["params"], variables["batch_stats"], img, seg, flow,
+            model.cfg, model.head_cfg, return_features=True, bt=32,
+        )
+
+    return fn
+
+
+def make_raw_feature_fn(model, variables, mesh=None, use_fused=None):
     """Feature extractor taking WIRE-FORMAT batches: uint8 RGB images, uint8
     single-channel segmaps, float16 flow. Dequantization, normalization
     (Cholec80 channel stats) and segmap channel-broadcast are fused into the
@@ -57,6 +87,9 @@ def make_raw_feature_fn(model, variables, mesh=None):
     1.6 MB (the tunnel/PCIe link is the throughput ceiling, not the MXU).
     """
     mesh = mesh if mesh is not None else meshlib.make_mesh()
+    if use_fused is None:
+        use_fused = _use_fused_default(model, mesh)
+    forward = _serving_forward(model, use_fused)
     variables = meshlib.replicate(mesh, variables)
     batch_shard = meshlib.batch_sharding(mesh)
     mean = (jnp.asarray(CHOLEC80_MEAN, jnp.float32) * 255.0).astype(jnp.bfloat16)
@@ -69,7 +102,7 @@ def make_raw_feature_fn(model, variables, mesh=None):
         seg = (seg_u8.astype(jnp.bfloat16) - mean) * inv_std  # [B,H,W,1] bc over ch
         seg = jnp.broadcast_to(seg, img.shape)
         flow = None if flow_f16 is None else flow_f16.astype(jnp.bfloat16)
-        return model.apply(variables, img, seg, flow, return_features=True)
+        return forward(variables, img, seg, flow)
 
     def wrapped(img_u8, seg_u8, flow_f16):
         img_u8 = jax.device_put(img_u8, batch_shard)
@@ -81,7 +114,8 @@ def make_raw_feature_fn(model, variables, mesh=None):
     return wrapped
 
 
-def make_raw_feature_chain_fn(model, variables, mesh=None, depth: int = 8):
+def make_raw_feature_chain_fn(model, variables, mesh=None, depth: int = 8,
+                              use_fused=None):
     """Chained-dispatch variant of ``make_raw_feature_fn``: one jit call runs
     ``depth`` extraction steps via ``lax.scan`` over a device-staged
     superbatch [depth, B, ...], so per-batch dispatch latency (~1.1-1.5 ms
@@ -96,6 +130,9 @@ def make_raw_feature_chain_fn(model, variables, mesh=None, depth: int = 8):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     mesh = mesh if mesh is not None else meshlib.make_mesh()
+    if use_fused is None:
+        use_fused = _use_fused_default(model, mesh)
+    forward = _serving_forward(model, use_fused)
     variables = meshlib.replicate(mesh, variables)
     # [S, B, ...]: shard the BATCH axis (dim 1) over the data mesh
     batch_shard = NamedSharding(mesh, P(None, meshlib.DATA_AXIS))
@@ -110,7 +147,7 @@ def make_raw_feature_chain_fn(model, variables, mesh=None, depth: int = 8):
             seg = (seg_b.astype(jnp.bfloat16) - mean) * inv_std
             seg = jnp.broadcast_to(seg, img.shape)
             flow = None if flow_b is None else flow_b.astype(jnp.bfloat16)
-            feats = model.apply(variables, img, seg, flow, return_features=True)
+            feats = forward(variables, img, seg, flow)
             return None, feats
 
         _, feats = jax.lax.scan(step, None, (img_u8, seg_u8, flow_f16))
