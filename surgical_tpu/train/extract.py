@@ -79,12 +79,18 @@ def _serving_forward(model, use_fused):
     return fn
 
 
-def make_raw_feature_fn(model, variables, mesh=None, use_fused=None):
+def make_raw_feature_fn(model, variables, mesh=None, use_fused=None,
+                        d2h_dtype=jnp.float16):
     """Feature extractor taking WIRE-FORMAT batches: uint8 RGB images, uint8
     single-channel segmaps, float16 flow. Dequantization, normalization
     (Cholec80 channel stats) and segmap channel-broadcast are fused into the
     device graph, so the host->device payload is ~0.4 MB/frame instead of
     1.6 MB (the tunnel/PCIe link is the throughput ceiling, not the MXU).
+
+    ``d2h_dtype``: wire format of the feature copy-out. float16 (default)
+    halves the D2H bytes at exactly the precision the reference computes
+    features under (fp16 autocast, generate_evp_LFB.py:441-499); the store
+    still holds float32. Pass jnp.float32 to disable.
     """
     mesh = mesh if mesh is not None else meshlib.make_mesh()
     if use_fused is None:
@@ -102,7 +108,7 @@ def make_raw_feature_fn(model, variables, mesh=None, use_fused=None):
         seg = (seg_u8.astype(jnp.bfloat16) - mean) * inv_std  # [B,H,W,1] bc over ch
         seg = jnp.broadcast_to(seg, img.shape)
         flow = None if flow_f16 is None else flow_f16.astype(jnp.bfloat16)
-        return forward(variables, img, seg, flow)
+        return forward(variables, img, seg, flow).astype(d2h_dtype)
 
     def wrapped(img_u8, seg_u8, flow_f16):
         img_u8 = jax.device_put(img_u8, batch_shard)
@@ -115,7 +121,7 @@ def make_raw_feature_fn(model, variables, mesh=None, use_fused=None):
 
 
 def make_raw_feature_chain_fn(model, variables, mesh=None, depth: int = 8,
-                              use_fused=None):
+                              use_fused=None, d2h_dtype=jnp.float16):
     """Chained-dispatch variant of ``make_raw_feature_fn``: one jit call runs
     ``depth`` extraction steps via ``lax.scan`` over a device-staged
     superbatch [depth, B, ...], so per-batch dispatch latency (~1.1-1.5 ms
@@ -148,10 +154,10 @@ def make_raw_feature_chain_fn(model, variables, mesh=None, depth: int = 8,
             seg = jnp.broadcast_to(seg, img.shape)
             flow = None if flow_b is None else flow_b.astype(jnp.bfloat16)
             feats = forward(variables, img, seg, flow)
-            return None, feats
+            return None, feats.astype(d2h_dtype)
 
         _, feats = jax.lax.scan(step, None, (img_u8, seg_u8, flow_f16))
-        return feats  # [S, B, D]
+        return feats  # [S, B, D] in d2h_dtype (f16 wire: halved copy-out)
 
     def wrapped(img_u8, seg_u8, flow_f16):
         img_u8 = jax.device_put(img_u8, batch_shard)
