@@ -1,0 +1,125 @@
+"""Streaming (online) temporal inference — exact parity with the offline
+forward on the same parameters (serving/online.py)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from surgical_tpu.core.config import MambaConfig, MSTCNConfig
+from surgical_tpu.models.mamba import CausalMambaModel
+from surgical_tpu.models.mstcn import MultiStageTCN
+from surgical_tpu.serving.online import OnlineMamba, OnlineMSTCN
+
+
+@pytest.fixture(autouse=True)
+def _full_precision():
+    old = jax.config.jax_default_matmul_precision
+    jax.config.update("jax_default_matmul_precision", "highest")
+    yield
+    jax.config.update("jax_default_matmul_precision", old)
+
+
+def test_online_mstcn_matches_offline():
+    cfg = MSTCNConfig(stages=2, layers=5, f_maps=16, f_dim=32)
+    model = MultiStageTCN(cfg)
+    T = 96
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((T, cfg.f_dim)).astype(np.float32))
+    params = model.init(jax.random.key(1), feats[None])
+
+    want = model.apply(params, feats[None])[:, 0]  # [S, T, out]
+    online = OnlineMSTCN(model, params)
+    got = online.run(feats)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_online_mstcn_step_equals_run():
+    """Per-frame step() (the serving path) must reproduce run() (the scan)."""
+    cfg = MSTCNConfig(stages=1, layers=3, f_maps=8, f_dim=12)
+    model = MultiStageTCN(cfg)
+    T = 20
+    rng = np.random.default_rng(2)
+    feats = jnp.asarray(rng.standard_normal((T, cfg.f_dim)).astype(np.float32))
+    params = model.init(jax.random.key(3), feats[None])
+
+    online = OnlineMSTCN(model, params)
+    ref = online.run(feats)
+    state = online.init_state()
+    outs = []
+    for t in range(T):
+        state, logits = online.step(state, feats[t])
+        outs.append(np.asarray(logits))
+    got = np.stack(outs, axis=1)  # [S, T, out]
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+
+def test_online_mstcn_state_is_constant_size():
+    """The streaming state must not grow with the number of frames."""
+    cfg = MSTCNConfig(stages=2, layers=4, f_maps=8, f_dim=12)
+    model = MultiStageTCN(cfg)
+    feats = jnp.zeros((1, cfg.f_dim), jnp.float32)
+    params = model.init(jax.random.key(0), feats[None])
+    online = OnlineMSTCN(model, params)
+    state = online.init_state()
+    sizes0 = [b.shape for bufs in state for b in bufs]
+    for t in range(10):
+        state, _ = online.step(state, feats[0])
+    assert [b.shape for bufs in state for b in bufs] == sizes0
+    # buffer for layer i is exactly 2 * 2^i rows
+    assert state[0][0].shape[0] == 2 and state[0][3].shape[0] == 16
+
+
+def test_online_mamba_matches_offline():
+    cfg = MambaConfig(layers=2, d_model=16, f_dim=24, d_state=8, d_conv=4,
+                      dropout=0.0)
+    model = CausalMambaModel(cfg, backend="xla")
+    T = 64
+    rng = np.random.default_rng(4)
+    feats = jnp.asarray(rng.standard_normal((T, cfg.f_dim)).astype(np.float32))
+    params = model.init(jax.random.key(5), feats[None])
+
+    want = model.apply(params, feats[None])[0, 0]  # [T, out]
+    online = OnlineMamba(model, params)
+    got = online.run(feats)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_online_mamba_step_equals_run():
+    cfg = MambaConfig(layers=1, d_model=8, f_dim=8, d_state=4, d_conv=3,
+                      dropout=0.0)
+    model = CausalMambaModel(cfg, backend="xla")
+    T = 16
+    rng = np.random.default_rng(6)
+    feats = jnp.asarray(rng.standard_normal((T, cfg.f_dim)).astype(np.float32))
+    params = model.init(jax.random.key(7), feats[None])
+
+    online = OnlineMamba(model, params)
+    ref = online.run(feats)
+    state = online.init_state()
+    outs = []
+    for t in range(T):
+        state, logits = online.step(state, feats[t])
+        outs.append(np.asarray(logits))
+    np.testing.assert_allclose(np.stack(outs), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_online_prefix_consistency():
+    """Causality in streaming form: logits at frame t must not change when
+    more frames arrive later (the online prediction is final)."""
+    cfg = MSTCNConfig(stages=2, layers=3, f_maps=8, f_dim=12)
+    model = MultiStageTCN(cfg)
+    rng = np.random.default_rng(8)
+    feats = jnp.asarray(rng.standard_normal((40, cfg.f_dim)).astype(np.float32))
+    params = model.init(jax.random.key(9), feats[None])
+    online = OnlineMSTCN(model, params)
+    full = np.asarray(online.run(feats))
+    half = np.asarray(online.run(feats[:20]))
+    np.testing.assert_allclose(half, full[:, :20], rtol=1e-6, atol=1e-6)
