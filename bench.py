@@ -288,6 +288,33 @@ def bench_temporal_inference(T: int = 2048, iters: int = 20):
     return (time.perf_counter() - t0) / iters
 
 
+def bench_online_streaming(T: int = 2048, rounds: int = 4):
+    """Streaming (live-surgery) temporal inference: OnlineMSTCN's per-frame
+    step scanned over T frames in ONE dispatch (serving/online.py). The
+    per-frame state is constant-size; the metric is steady-state frames/s —
+    surgical video is 1 fps (25 fps raw), so divide by 25 for the real-time
+    margin at raw rate."""
+    from surgical_tpu.core.config import MSTCNConfig
+    from surgical_tpu.models.mstcn import MultiStageTCN
+    from surgical_tpu.serving.online import OnlineMSTCN
+
+    cfg = MSTCNConfig(stages=2, layers=8, f_maps=32, f_dim=2048)
+    model = MultiStageTCN(cfg)
+    feats = jax.device_put(
+        np.random.default_rng(0).standard_normal((T, cfg.f_dim)).astype(np.float32)
+    )
+    params = model.init(jax.random.key(0), feats[:1][None])
+    online = OnlineMSTCN(model, params)
+    run = jax.jit(lambda f: online.run(f)[-1, -1, :1])
+    _ = np.asarray(run(feats))
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        _ = np.asarray(run(feats))
+        best = min(best, time.perf_counter() - t0)
+    return T / best
+
+
 def bench_mamba_inference(T: int = 2048, iters: int = 20):
     """Causal Mamba whole-video forward on the Pallas selective-scan kernel."""
     from surgical_tpu.core.config import MambaConfig
@@ -320,6 +347,7 @@ def main():
         prod_rates = chain_rates
     video_s = bench_temporal_inference()
     mamba_s = bench_mamba_inference()
+    online_fps = bench_online_streaming()
     decode_fps = bench_native_decode()
     cache_fps = bench_cache_read()
     # headline = the PRODUCTION path (cli extract-features' chained pipeline
@@ -346,6 +374,7 @@ def main():
             "temporal_inference_s_per_video": round(video_s, 4),
             "temporal_vs_baseline": round(BASELINE_VIDEO_LATENCY_S / video_s, 3),
             "mamba_inference_s_per_video": round(mamba_s, 4),
+            "online_streaming_fps": round(online_fps, 1),
             "device": str(jax.devices()[0]),
             "protocol": "value/vs_baseline = production chained-dispatch "
                         "pipeline (train/extract.make_raw_feature_chain_fn, "

@@ -920,9 +920,9 @@ def main(argv=None) -> int:
                          "(generate_evp_LFB.py handoff)")
     sp.add_argument("--no-flow", action="store_true")
     sp.add_argument("--reference-pickles", action="store_true")
-    sp.add_argument("--chain-depth", type=int, default=8,
-                    help="batches per jit dispatch (lax.scan chain); 1 = "
-                         "per-batch dispatch")
+    sp.add_argument("--chain-depth", type=int, default=16,
+                    help="batches per jit dispatch (lax.scan chain; the "
+                         "BENCH protocol depth); 1 = per-batch dispatch")
     sp.add_argument("--splits", default="",
                     help="comma list of splits to extract (default: all)")
     sp.add_argument("--depths", default=None,
@@ -962,7 +962,7 @@ def main(argv=None) -> int:
                     help="Transformer .pth (e.g. TeCNOevp_trans1_3_5_1_*.pth)")
     sp.add_argument("--variant", default="b3")
     sp.add_argument("--batch-size", type=int, default=200)
-    sp.add_argument("--chain-depth", type=int, default=8)
+    sp.add_argument("--chain-depth", type=int, default=16)
     sp.add_argument("--num-videos", type=int, default=80)
     sp.add_argument("--scheme",
                     choices=["stage1", "stage2", "m2cai", "m2cai_all", "smoke"],
