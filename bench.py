@@ -336,15 +336,18 @@ def bench_mamba_inference(T: int = 2048, iters: int = 20):
 
 def main():
     fps, e2e_fps, rates, chain_rates, chain_overhead_ms = bench_lfb_extraction()
+    prod_fallback = None
     try:
         prod_rates = bench_production_extract()
     except Exception as e:  # noqa: BLE001 — the env's remote compile helper
         # intermittently 500s on large chained programs (see memory/kernel
-        # notes); fall back to the bench-local chained graph so a helper
-        # outage cannot zero the benchmark.
+        # notes); degrade to the per-dispatch pipeline (production-SHAPED:
+        # same dispatches + D2H, just no chaining) rather than the
+        # overhead-cancelled chip number, so the headline protocol holds.
         print(f"# production-chain compile failed ({str(e)[:120]}); "
-              "falling back to bench-local chain", file=sys.stderr)
-        prod_rates = chain_rates
+              "falling back to per-dispatch pipeline", file=sys.stderr)
+        prod_rates = rates
+        prod_fallback = f"chained compile failed: {str(e)[:120]}"
     video_s = bench_temporal_inference()
     mamba_s = bench_mamba_inference()
     online_fps = bench_online_streaming()
@@ -362,6 +365,7 @@ def main():
         "vs_baseline": round(prod_fps / BASELINE_LFB_FPS, 3),
         "extra": {
             "median_fps": round(float(np.median(prod_rates)), 1),
+            "production_fallback": prod_fallback,
             "production_chain_fps_rounds": [round(r, 1) for r in prod_rates],
             "chip_capability_fps": round(fps, 1),
             "chip_capability_median_fps": round(float(np.median(chain_rates)), 1),

@@ -43,27 +43,11 @@ ROUNDS = 4
 LO, HI = 8, 24
 
 
-def _total(fn, x0, iters):
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def chained(x, n):
-        def step(c, _):
-            return fn(c), None
-
-        y, _ = jax.lax.scan(step, x, None, length=n)
-        lead = jax.tree.leaves(y)[0]
-        return jnp.sum(lead[(0,) * (lead.ndim - 1)][:1].astype(jnp.float32))
-
-    _ = np.asarray(chained(x0, n=iters))
-    best = float("inf")
-    for _ in range(ROUNDS):
-        t0 = time.perf_counter()
-        _ = np.asarray(chained(x0, n=iters))
-        best = min(best, time.perf_counter() - t0)
-    return best
+from scripts._timing import chain_time as _chain_time
 
 
 def chain_time(fn, x0):
-    return max((_total(fn, x0, HI) - _total(fn, x0, LO)) / (HI - LO), 1e-9)
+    return _chain_time(fn, x0, LO, HI, ROUNDS)
 
 
 def main():

@@ -32,36 +32,12 @@ ROUNDS = 4
 LO, HI = 8, 24
 
 
-def _total(fn, args, iters):
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def chained(a, n):
-        def step(c, _):
-            return fn(c), None
-
-        y, _ = jax.lax.scan(step, a, None, length=n)
-        lead = jax.tree.leaves(y)[0]
-        return jnp.sum(lead[(0,) * (lead.ndim - 1)][:1].astype(jnp.float32))
-
-    _ = np.asarray(chained(args, n=iters))
-    best = float("inf")
-    for _ in range(ROUNDS):
-        t0 = time.perf_counter()
-        _ = np.asarray(chained(args, n=iters))
-        best = min(best, time.perf_counter() - t0)
-    return best
+from scripts._timing import chain_time as _chain_time
+from surgical_tpu.kernels.mit_block import _shift_rows as shift_rows
 
 
 def chain_time(fn, args):
-    return max((_total(fn, args, HI) - _total(fn, args, LO)) / (HI - LO), 1e-9)
-
-
-def shift_rows(h, off):
-    M, C = h.shape
-    if off > 0:
-        return jnp.concatenate([h[off:], jnp.zeros((off, C), h.dtype)], 0)
-    if off < 0:
-        return jnp.concatenate([jnp.zeros((-off, C), h.dtype), h[:off]], 0)
-    return h
+    return _chain_time(fn, args, LO, HI, ROUNDS)
 
 
 def make_sel(bt, H, W, sr):

@@ -55,33 +55,17 @@ ROUNDS = 4
 LO, HI = 8, 40  # two-point iteration counts
 
 
+from scripts._timing import chain_time as _chain_time, total_chained
+
+
 def _total(fn, x0, iters, rounds=ROUNDS):
-    """Best-of-rounds TOTAL seconds for `iters` carry-chained steps of fn."""
-
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def chained(x, n):
-        def step(c, _):
-            return fn(c), None
-
-        y, _ = jax.lax.scan(step, x, None, length=n)
-        lead = jax.tree.leaves(y)[0]
-        return jnp.sum(lead[(0,) * (lead.ndim - 1)][:1].astype(jnp.float32))
-
-    _ = np.asarray(chained(x0, n=iters))
-    best = float("inf")
-    for _ in range(rounds):
-        t0 = time.perf_counter()
-        _ = np.asarray(chained(x0, n=iters))
-        best = min(best, time.perf_counter() - t0)
-    return best
+    return total_chained(fn, x0, iters, rounds)
 
 
 def chain_time(fn, x0, lo=LO, hi=HI):
-    """Overhead-cancelled seconds per iteration: slope between two chained
-    runs of the same fn — the fixed ~27 ms relay dispatch cost drops out."""
-    t_lo = _total(fn, x0, lo)
-    t_hi = _total(fn, x0, hi)
-    return max((t_hi - t_lo) / (hi - lo), 1e-9)
+    """Overhead-cancelled s/iter — scripts/_timing.py (raises on a noise-
+    negative slope rather than publishing nonsense ceilings)."""
+    return _chain_time(fn, x0, lo, hi, ROUNDS)
 
 
 # ---------------------------------------------------------------- ceilings
@@ -280,6 +264,11 @@ def main():
     print("VPU f32:", report["vpu_tops"], "T-ops/s", flush=True)
     report["hbm_gbps"] = round(measure_hbm_gbps(), 1)
     print("HBM stream:", report["hbm_gbps"], "GB/s", flush=True)
+    # ceilings above hardware peak mean a broken probe (v5e: 197 TFLOPs
+    # bf16, 819 GB/s HBM) — refuse to build floors on them
+    if report["mxu_tflops"] > 230 or report["hbm_gbps"] > 900 \
+            or report["vpu_tops"] > 20:
+        raise RuntimeError(f"ceiling probe above hardware peak: {report}")
 
     rng = np.random.default_rng(0)
     stages = []

@@ -116,9 +116,11 @@ def _backbone_and_data(args, split_scheme: str):
         overrides["depths"] = tuple(int(d) for d in args.depths.split(","))
     cfg = BackboneConfig.preset(args.variant, **overrides)
     head = HeadConfig(embedding_dim=32, hidden=16) if args.variant == "tiny" else HeadConfig()
-    if getattr(args, "head_dim", None):
-        head = HeadConfig(embedding_dim=args.head_dim,
-                          hidden=args.head_hidden or head.hidden)
+    if getattr(args, "head_dim", None) or getattr(args, "head_hidden", None):
+        head = HeadConfig(
+            embedding_dim=getattr(args, "head_dim", None) or head.embedding_dim,
+            hidden=getattr(args, "head_hidden", None) or head.hidden,
+        )
     model = MiTEVP(cfg, head, compute_dtype=jnp.bfloat16)
     return model, cfg, datasets
 
@@ -342,7 +344,24 @@ def cmd_extract_features(args) -> int:
         for name in list(datasets):
             d = os.path.join(args.frame_cache, name)
             if FrameCache.exists(d):
-                datasets[name] = FrameCache(d)
+                fc = FrameCache(d)
+                # the cache must carry the modalities this run's model was
+                # built with — a flow-less cache under a with_flow model
+                # would silently skip flow fusion (mit_evp forward gates on
+                # flow is not None) and write inconsistent features
+                want_flow = not getattr(args, "no_flow", False)
+                if want_flow and not fc.meta["with_flow"]:
+                    raise SystemExit(
+                        f"{d}: cache was built --no-flow but this run's "
+                        "model uses flow fusion; rebuild the cache with "
+                        "flow or pass --no-flow")
+                cur = datasets[name]
+                want_resize = getattr(cur, "resize", None)
+                if want_resize and fc.meta["resize"] != want_resize:
+                    raise SystemExit(
+                        f"{d}: cache resize={fc.meta['resize']} != run "
+                        f"resize={want_resize}; rebuild the cache")
+                datasets[name] = fc
                 print(f"{name}: serving frames from cache {d}")
     for name, ds in datasets.items():
         if name not in wanted:
@@ -467,7 +486,14 @@ def cmd_train_refiner(args) -> int:
         params = store.restore(step, params)
         if store.has_aux(step):
             opt_state = store.restore_aux(step, {"opt_state": opt_state})["opt_state"]
-        print(f"resumed refiner full train state from epoch {step}")
+            print(f"resumed refiner full train state from epoch {step}")
+        else:
+            # params-only checkpoint (pre-aux format): Adam moments restart
+            # from zero — say so instead of claiming full continuation
+            print(f"resumed refiner PARAMS ONLY from epoch {step} "
+                  "(no opt_state aux in checkpoint; Adam moments reset — "
+                  "not schedule-identical to an uninterrupted run)",
+                  file=sys.stderr)
     for epoch in range(start_epoch, args.epochs):
         params, opt_state, tm = trainer.train_epoch(temporal_params, params, opt_state, train_ds, epoch)
         vm, _, _ = trainer.evaluate(temporal_params, params, val_ds)

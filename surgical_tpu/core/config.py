@@ -149,7 +149,10 @@ class BackboneConfig:
             "b5": (3, 6, 40, 3),
         }[variant]
         dims = (32, 64, 160, 256) if variant == "b0" else (64, 128, 320, 512)
-        return BackboneConfig(variant=variant, embed_dims=dims, depths=depths, **overrides)
+        # overrides win over the preset's depths/embed_dims (e.g. cli
+        # --depths for non-preset checkpoints) instead of TypeError-ing
+        base = dict(variant=variant, embed_dims=dims, depths=depths)
+        return BackboneConfig(**{**base, **overrides})
 
 
 @dataclass(frozen=True)

@@ -120,7 +120,7 @@ def make_raw_feature_fn(model, variables, mesh=None, use_fused=None,
     return wrapped
 
 
-def make_raw_feature_chain_fn(model, variables, mesh=None, depth: int = 8,
+def make_raw_feature_chain_fn(model, variables, mesh=None, depth: int = 16,
                               use_fused=None, d2h_dtype=jnp.float16):
     """Chained-dispatch variant of ``make_raw_feature_fn``: one jit call runs
     ``depth`` extraction steps via ``lax.scan`` over a device-staged
