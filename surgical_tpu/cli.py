@@ -104,13 +104,14 @@ def _clip_datasets(args) -> dict:
     return datasets
 
 
-def _backbone_and_data(args, split_scheme: str):
+def _build_model(args):
+    """Backbone + head from the shared CLI flags (--variant/--depths/
+    --no-flow/--head-dim/--head-hidden)."""
     import jax.numpy as jnp
 
     from surgical_tpu.core.config import BackboneConfig, HeadConfig
     from surgical_tpu.models.mit_evp import MiTEVP
 
-    datasets = _clip_datasets(args)
     overrides = {"with_flow": not args.no_flow}
     if getattr(args, "depths", None):
         overrides["depths"] = tuple(int(d) for d in args.depths.split(","))
@@ -121,7 +122,12 @@ def _backbone_and_data(args, split_scheme: str):
             embedding_dim=getattr(args, "head_dim", None) or head.embedding_dim,
             hidden=getattr(args, "head_hidden", None) or head.hidden,
         )
-    model = MiTEVP(cfg, head, compute_dtype=jnp.bfloat16)
+    return MiTEVP(cfg, head, compute_dtype=jnp.bfloat16), cfg
+
+
+def _backbone_and_data(args, split_scheme: str):
+    datasets = _clip_datasets(args)
+    model, cfg = _build_model(args)
     return model, cfg, datasets
 
 
@@ -398,6 +404,68 @@ def cmd_extract_features(args) -> int:
             fstore.to_reference_pickle(
                 os.path.join(args.work, "lfb", f"evp_LFB_{name}.pkl")
             )
+    return 0
+
+
+def cmd_export_serving(args) -> int:
+    """Deployment export: serialize the frozen serving graph — wire-format
+    dequant + MiT-EVP forward with trained weights baked in — to a
+    self-contained jax.export artifact loadable WITHOUT this package
+    (serving/export.py). Replaces the reference's deploy-by-shipping-the-
+    training-repo (generate_evp_LFB.py:400-437)."""
+    import jax
+
+    from surgical_tpu.core.checkpoint import CheckpointStore
+    from surgical_tpu.serving.export import export_feature_extractor, save_artifact
+
+    model, cfg = _build_model(args)
+    import jax.numpy as jnp
+
+    S = args.size
+    z = jnp.zeros((1, S, S, 3))
+    variables = model.init(jax.random.key(0), z, z, jnp.zeros((1, S, S, 2)))
+    step = None
+    if args.pretrained_evp:
+        from surgical_tpu.models.convert import (
+            import_evp_state_dict, load_torch_pth, merge_pretrained,
+        )
+
+        p, bs = import_evp_state_dict(load_torch_pth(args.pretrained_evp), cfg.depths)
+        variables = {
+            "params": merge_pretrained(dict(variables["params"]), p),
+            "batch_stats": merge_pretrained(dict(variables["batch_stats"]), bs),
+        }
+        print(f"imported full EVP stage-2 weights from {args.pretrained_evp}")
+    elif args.work:
+        store = CheckpointStore(os.path.join(args.work, "ckpt", "backbone"))
+        step = args.step if args.step >= 0 else store.best_step("val_acc")
+        step = step if step is not None else store.latest_step()
+        if step is None:
+            raise SystemExit(f"no backbone checkpoint under {args.work}")
+        restored = store.restore(
+            step,
+            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        )
+        variables = {**variables, **restored}
+        print(f"restored backbone checkpoint step {step}")
+    else:
+        print("WARNING: exporting with RANDOM init (no --work / "
+              "--pretrained-evp)", file=sys.stderr)
+
+    exported = export_feature_extractor(
+        model, variables, args.batch_size, size=S,
+        with_flow=not args.no_flow, features=not args.logits,
+        use_fused=args.fused,
+    )
+    save_artifact(args.out, exported, meta={
+        "variant": args.variant, "checkpoint_step": step,
+        "pretrained_evp": args.pretrained_evp, "size": S,
+        "batch_size": args.batch_size, "with_flow": not args.no_flow,
+        "output": "logits" if args.logits else "features",
+        "fused": bool(args.fused),
+    })
+    print(f"wrote serving artifact to {args.out} "
+          f"(platforms={list(exported.platforms)})")
     return 0
 
 
@@ -960,6 +1028,29 @@ def main(argv=None) -> int:
                     help="packed frame-cache root (cache-frames output); "
                          "splits with a cache are served from it")
     sp.set_defaults(fn=cmd_extract_features)
+
+    sp = sub.add_parser(
+        "export-serving",
+        help="serialize the frozen serving graph (weights baked in) to a "
+             "self-contained jax.export artifact")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--work", default=None)
+    sp.add_argument("--variant", default="b3")
+    sp.add_argument("--batch-size", type=int, default=200)
+    sp.add_argument("--size", type=int, default=250)
+    sp.add_argument("--step", type=int, default=-1)
+    sp.add_argument("--pretrained-evp", default=None)
+    sp.add_argument("--no-flow", action="store_true")
+    sp.add_argument("--logits", action="store_true",
+                    help="export (phase, anticipation) logits instead of "
+                         "LFB features")
+    sp.add_argument("--fused", action="store_true",
+                    help="export the Pallas-fused graph (pins the exact "
+                         "hardware generation; default: portable flax graph)")
+    sp.add_argument("--depths", default=None)
+    sp.add_argument("--head-dim", type=int, default=None)
+    sp.add_argument("--head-hidden", type=int, default=None)
+    sp.set_defaults(fn=cmd_export_serving)
 
     sp = sub.add_parser(
         "cache-frames",

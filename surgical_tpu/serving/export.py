@@ -1,0 +1,124 @@
+"""Deployment export: serialize the serving graph to a self-contained
+StableHLO artifact (`jax.export`) loadable WITHOUT the model code.
+
+The reference deploys by shipping the training repo + a .pth and rebuilding
+the torch module graph at load time (generate_evp_LFB.py:400-437). Here the
+whole serving computation — wire-format dequant/normalize + the frozen
+MiT-EVP forward with weights baked in as constants — exports to one
+versioned-stable blob that any process with jax installed can call:
+
+    art = export_feature_extractor(model, variables, batch_size=128)
+    save_artifact("serving/", art)
+    ...
+    fn = load_artifact("serving/")           # no surgical_tpu import needed
+    feats = fn(img_u8, seg_u8, flow_f16)     # [B, 2048]
+
+Artifacts are platform-bound (exported on TPU -> runs on TPU); export the
+portable flax graph by default — the Pallas-fused graph contains Mosaic
+custom calls that pin the exact hardware generation (pass use_fused=True
+only for same-fleet serving).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jexport
+
+from surgical_tpu.core.config import CHOLEC80_MEAN, CHOLEC80_STD
+
+_BLOB = "serving_graph.jaxexport"
+_MANIFEST = "manifest.json"
+
+
+def export_feature_extractor(
+    model,
+    variables: dict,
+    batch_size: int,
+    *,
+    size: int = 224,
+    with_flow: bool = True,
+    features: bool = True,
+    use_fused: bool = False,
+    d2h_dtype=jnp.float32,
+):
+    """Export the wire-format serving forward with weights baked in.
+
+    Inputs of the exported fn: uint8 image [B, S, S, 3], uint8 segmap
+    [B, S, S, 1], float16 flow [B, S, S, 2] (omitted when with_flow=False).
+    Output: [B, D] features (``features=True``, the LFB extraction
+    contract) or (phase logits, anticipation logits).
+    """
+    mean = (jnp.asarray(CHOLEC80_MEAN, jnp.float32) * 255.0).astype(jnp.bfloat16)
+    inv_std = (1.0 / (jnp.asarray(CHOLEC80_STD, jnp.float32) * 255.0)).astype(jnp.bfloat16)
+
+    if use_fused:
+        from surgical_tpu.models.mit_fused import fused_forward
+
+        def forward(img, seg, flow):
+            return fused_forward(
+                variables["params"], variables["batch_stats"], img, seg, flow,
+                model.cfg, model.head_cfg, return_features=features, bt=32,
+            )
+    else:
+        def forward(img, seg, flow):
+            return model.apply(variables, img, seg, flow,
+                               return_features=features)
+
+    def serve(img_u8, seg_u8, flow_f16=None):
+        img = (img_u8.astype(jnp.bfloat16) - mean) * inv_std
+        seg = jnp.broadcast_to(
+            (seg_u8.astype(jnp.bfloat16) - mean) * inv_std, img.shape)
+        flow = None if flow_f16 is None else flow_f16.astype(jnp.bfloat16)
+        out = forward(img, seg, flow)
+        if features:
+            return out.astype(d2h_dtype)
+        return tuple(o.astype(d2h_dtype) for o in out)
+
+    B, S = batch_size, size
+    specs = [
+        jax.ShapeDtypeStruct((B, S, S, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((B, S, S, 1), jnp.uint8),
+    ]
+    if with_flow:
+        specs.append(jax.ShapeDtypeStruct((B, S, S, 2), jnp.float16))
+        exported = jexport.export(jax.jit(serve))(*specs)
+    else:
+        exported = jexport.export(jax.jit(lambda i, s: serve(i, s, None)))(*specs)
+    return exported
+
+
+def save_artifact(directory: str, exported, meta: Optional[dict] = None) -> None:
+    os.makedirs(directory, exist_ok=True)
+    blob = exported.serialize()
+    with open(os.path.join(directory, _BLOB), "wb") as f:
+        f.write(blob)
+    manifest = {
+        "platforms": list(exported.platforms),
+        "in_avals": [str(a) for a in exported.in_avals],
+        "out_avals": [str(a) for a in exported.out_avals],
+        "calling_convention_version": exported.calling_convention_version,
+        "bytes": len(blob),
+        **(meta or {}),
+    }
+    with open(os.path.join(directory, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+
+
+def load_artifact(directory: str):
+    """Load a saved serving artifact; returns fn(*wire_inputs) -> outputs.
+    Requires only jax — no surgical_tpu model code."""
+    with open(os.path.join(directory, _BLOB), "rb") as f:
+        exported = jexport.deserialize(f.read())
+
+    def fn(*args):
+        return exported.call(*args)
+
+    fn.manifest = json.load(open(os.path.join(directory, _MANIFEST)))
+    fn.exported = exported
+    return fn
