@@ -93,6 +93,25 @@ def export_feature_extractor(
     return exported
 
 
+def export_online_temporal(online, feat_dim: int):
+    """Export a streaming temporal step (serving/online.py OnlineMSTCN or
+    OnlineMamba) as a jax.export artifact: fn(state..., feat) ->
+    (state'..., logits), with the zero initial state recorded in the
+    manifest shapes. Together with the backbone artifact this deploys the
+    full frame-in/phase-out pipeline without any model code."""
+    state0 = online.init_state()
+    flat, treedef = jax.tree.flatten(state0)
+
+    def step(*args):
+        state = jax.tree.unflatten(treedef, args[:-1])
+        new_state, logits = online._step_impl(state, args[-1])
+        return (*jax.tree.leaves(new_state), logits)
+
+    specs = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in flat]
+    specs.append(jax.ShapeDtypeStruct((feat_dim,), jnp.float32))
+    return jexport.export(jax.jit(step))(*specs)
+
+
 def save_artifact(directory: str, exported, meta: Optional[dict] = None) -> None:
     os.makedirs(directory, exist_ok=True)
     blob = exported.serialize()

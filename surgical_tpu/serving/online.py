@@ -197,10 +197,14 @@ class OnlineSession:
 
     def __init__(self, backbone, variables: dict, temporal,
                  use_fused: Optional[bool] = None):
+        from surgical_tpu.parallel.mesh import make_mesh
         from surgical_tpu.train.extract import make_raw_feature_fn
 
+        # online serving is a B=1 micro-batch per frame: pin a single-device
+        # mesh (the data-parallel extraction mesh would require B % n == 0)
         self._feature_fn = make_raw_feature_fn(
-            backbone, variables, use_fused=use_fused, d2h_dtype=jnp.float32)
+            backbone, variables, mesh=make_mesh(1), use_fused=use_fused,
+            d2h_dtype=jnp.float32)
         self.temporal = temporal
         self.state = temporal.init_state()
         self.frame_idx = 0

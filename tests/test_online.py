@@ -123,3 +123,54 @@ def test_online_prefix_consistency():
     full = np.asarray(online.run(feats))
     half = np.asarray(online.run(feats[:20]))
     np.testing.assert_allclose(half, full[:, :20], rtol=1e-6, atol=1e-6)
+
+
+def test_online_session_end_to_end():
+    """Frame-in / phase-out: the OnlineSession chains the frozen backbone's
+    features into the streaming temporal step and matches the offline
+    pipeline (extract features, run whole-video temporal) frame by frame."""
+    import numpy as np
+
+    from surgical_tpu.core.config import BackboneConfig, HeadConfig
+    from surgical_tpu.models.mit_evp import MiTEVP
+    from surgical_tpu.serving.online import OnlineSession
+
+    bcfg = BackboneConfig.preset("tiny")
+    head = HeadConfig(embedding_dim=16, hidden=8)
+    backbone = MiTEVP(bcfg, head)
+    S = 64
+    z = jnp.zeros((1, S, S, 3), jnp.float32)
+    variables = backbone.init(jax.random.key(0), z, z,
+                              jnp.zeros((1, S, S, 2), jnp.float32))
+
+    tcfg = MSTCNConfig(stages=2, layers=3, f_maps=8, f_dim=16)
+    tmodel = MultiStageTCN(tcfg)
+    tparams = tmodel.init(jax.random.key(1), jnp.zeros((1, 4, 16)))
+    temporal = OnlineMSTCN(tmodel, tparams)
+
+    session = OnlineSession(backbone, variables, temporal)
+    rng = np.random.default_rng(3)
+    T = 4
+    imgs = rng.integers(0, 255, (T, S, S, 3), dtype=np.uint8)
+    segs = rng.integers(0, 255, (T, S, S, 1), dtype=np.uint8)
+    flows = rng.standard_normal((T, S, S, 2)).astype(np.float16)
+
+    online_logits = np.stack([
+        session.step(imgs[t], segs[t], flows[t]) for t in range(T)
+    ])
+    assert session.frame_idx == T
+    assert online_logits.shape == (T, tcfg.out_features)
+
+    # offline: extract all features, run the whole sequence at once
+    from surgical_tpu.parallel.mesh import make_mesh
+    from surgical_tpu.train.extract import make_raw_feature_fn
+
+    feat_fn = make_raw_feature_fn(backbone, variables, mesh=make_mesh(1),
+                                  d2h_dtype=jnp.float32)
+    feats = feat_fn(imgs, segs, flows)
+    offline = tmodel.apply(tparams, np.asarray(feats, np.float32)[None])[-1, 0]
+    np.testing.assert_allclose(online_logits, np.asarray(offline),
+                               rtol=1e-4, atol=1e-4)
+
+    session.reset()
+    assert session.frame_idx == 0

@@ -74,3 +74,38 @@ def test_export_no_flow_and_logits(tmp_path):
     assert np.asarray(phase).shape == (B, 7)
     assert np.asarray(ant).shape == (B, 7)
     assert np.isfinite(np.asarray(phase)).all()
+
+
+def test_export_online_temporal_step(tmp_path):
+    """The streaming MS-TCN step round-trips through jax.export: state
+    threads through the artifact and logits match the live step."""
+    from surgical_tpu.core.config import MSTCNConfig
+    from surgical_tpu.models.mstcn import MultiStageTCN
+    from surgical_tpu.serving.export import export_online_temporal
+    from surgical_tpu.serving.online import OnlineMSTCN
+
+    cfg = MSTCNConfig(stages=2, layers=3, f_maps=8, f_dim=12)
+    model = MultiStageTCN(cfg)
+    feats = jnp.zeros((1, cfg.f_dim), jnp.float32)
+    params = model.init(jax.random.key(0), feats[None])
+    online = OnlineMSTCN(model, params)
+
+    exported = export_online_temporal(online, cfg.f_dim)
+    save_artifact(str(tmp_path / "tart"), exported, meta={"model": "mstcn"})
+    fn = load_artifact(str(tmp_path / "tart"))
+
+    rng = np.random.default_rng(2)
+    xs = rng.standard_normal((6, cfg.f_dim)).astype(np.float32)
+
+    # drive the artifact for 6 frames, threading the state manually
+    state_live = online.init_state()
+    flat = [np.asarray(a) for a in jax.tree.leaves(state_live)]
+    arts = []
+    for t in range(6):
+        out = fn(*flat, xs[t])
+        flat, logits = list(out[:-1]), out[-1]
+        arts.append(np.asarray(logits))
+        state_live, live_logits = online.step(state_live, jnp.asarray(xs[t]))
+        np.testing.assert_allclose(np.asarray(logits), np.asarray(live_logits),
+                                   rtol=1e-5, atol=1e-5)
+    assert np.stack(arts).shape == (6, cfg.stages, cfg.out_features)
