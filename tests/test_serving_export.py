@@ -109,3 +109,33 @@ def test_export_online_temporal_step(tmp_path):
         np.testing.assert_allclose(np.asarray(logits), np.asarray(live_logits),
                                    rtol=1e-5, atol=1e-5)
     assert np.stack(arts).shape == (6, cfg.stages, cfg.out_features)
+
+
+def test_export_online_mamba_step(tmp_path):
+    """Streaming Mamba step through jax.export: conv window + SSM state
+    thread through the artifact; logits match the live step."""
+    from surgical_tpu.core.config import MambaConfig
+    from surgical_tpu.models.mamba import CausalMambaModel
+    from surgical_tpu.serving.export import export_online_temporal
+    from surgical_tpu.serving.online import OnlineMamba
+
+    cfg = MambaConfig(layers=2, d_model=8, f_dim=12, d_state=4, d_conv=3,
+                      dropout=0.0)
+    model = CausalMambaModel(cfg, backend="xla")
+    params = model.init(jax.random.key(0), jnp.zeros((1, 4, cfg.f_dim)))
+    online = OnlineMamba(model, params)
+
+    exported = export_online_temporal(online, cfg.f_dim)
+    save_artifact(str(tmp_path / "mart"), exported, meta={"model": "mamba"})
+    fn = load_artifact(str(tmp_path / "mart"))
+
+    rng = np.random.default_rng(5)
+    xs = rng.standard_normal((5, cfg.f_dim)).astype(np.float32)
+    state_live = online.init_state()
+    flat = [np.asarray(a) for a in jax.tree.leaves(state_live)]
+    for t in range(5):
+        out = fn(*flat, xs[t])
+        flat, logits = list(out[:-1]), out[-1]
+        state_live, live_logits = online.step(state_live, jnp.asarray(xs[t]))
+        np.testing.assert_allclose(np.asarray(logits), np.asarray(live_logits),
+                                   rtol=1e-5, atol=1e-5)
