@@ -68,10 +68,15 @@ def main():
     tcfg = MSTCNConfig(stages=2, layers=3, f_maps=8, f_dim=32)
     tmodel = MultiStageTCN(tcfg)
     tparams = tmodel.init(jax.random.key(1), jnp.zeros((1, 4, 32)))
-    session = OnlineSession(model, variables, OnlineMSTCN(tmodel, tparams))
+    # use_fused=True: exercise the Pallas per-block kernels at B=1 — the
+    # graph a PRODUCTION OnlineSession serves (non-tiny + 1-device TPU mesh
+    # routes fused by default; B=1 is a batch the kernels never see in the
+    # B=128 extraction benchmarks, so its grid/VMEM shape must be proven)
+    session = OnlineSession(model, variables, OnlineMSTCN(tmodel, tparams),
+                            use_fused=True)
     logits = [session.step(img[0], seg[0], flw[0]) for _ in range(3)]
     assert all(np.isfinite(l).all() for l in logits)
-    print("online session on-chip: 3 frames,",
+    print("online session on-chip (fused Pallas backbone, B=1): 3 frames,",
           f"logits[{logits[-1].shape}] finite, frame_idx={session.frame_idx}",
           flush=True)
     print("TPU serving selfcheck OK", flush=True)

@@ -131,6 +131,49 @@ def _backbone_and_data(args, split_scheme: str):
     return model, cfg, datasets
 
 
+def _restore_backbone_variables(args, model, cfg, size: int):
+    """Init + restore the frozen backbone the way BOTH extraction and
+    serving export must (identically): either the reference stage-2 .pth
+    (--pretrained-evp, generate_evp_LFB.py:412-437 handoff) or the --work
+    checkpoint (best-by-val / --step / latest), restoring params AND
+    batch_stats (model.eval() semantics). Returns (variables, step)."""
+    import jax
+    import jax.numpy as jnp
+
+    from surgical_tpu.core.checkpoint import CheckpointStore
+
+    z = jnp.zeros((1, size, size, 3))
+    variables = model.init(jax.random.key(0), z, z, jnp.zeros((1, size, size, 2)))
+    step = None
+    if getattr(args, "pretrained_evp", None):
+        from surgical_tpu.models.convert import (
+            import_evp_state_dict, load_torch_pth, merge_pretrained,
+        )
+
+        p, bs = import_evp_state_dict(load_torch_pth(args.pretrained_evp), cfg.depths)
+        variables = {
+            "params": merge_pretrained(dict(variables["params"]), p),
+            "batch_stats": merge_pretrained(dict(variables["batch_stats"]), bs),
+        }
+        print(f"imported full EVP stage-2 weights from {args.pretrained_evp}")
+        return variables, None
+    if getattr(args, "work", None):
+        store = CheckpointStore(os.path.join(args.work, "ckpt", "backbone"))
+        step = args.step if getattr(args, "step", -1) >= 0 else store.best_step("val_acc")
+        step = step if step is not None else store.latest_step()
+    if step is not None:
+        # Restore params AND batch_stats: extraction/serving must run with
+        # trained BN running statistics, matching the reference's
+        # model.eval() semantics (generate_evp_LFB.py:412-437).
+        restored = store.restore(
+            step,
+            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        )
+        variables = {**variables, **restored}
+        print(f"restored backbone checkpoint step {step}")
+    return variables, step
+
+
 def _eval_batches(ds, batch_size: int):
     """Fresh eval-batch generator over a ClipDataset, in frame order."""
     from surgical_tpu.data.datasets import prefetch_batches
@@ -300,38 +343,7 @@ def cmd_extract_features(args) -> int:
 
     model, cfg, datasets = _backbone_and_data(args, "stage2")
     idx = _work_paths(args.work)["index"]
-    store = CheckpointStore(os.path.join(args.work, "ckpt", "backbone"))
-    import jax.numpy as jnp
-
-    z = jnp.zeros((1, 250, 250, 3))
-    variables = model.init(jax.random.key(0), z, z, jnp.zeros((1, 250, 250, 2)))
-    if args.pretrained_evp:
-        # reference handoff: generate_evp_LFB.py loads the finetuned stage-2
-        # .pth directly (generate_evp_LFB.py:412-437)
-        from surgical_tpu.models.convert import (
-            import_evp_state_dict, load_torch_pth, merge_pretrained,
-        )
-
-        p, bs = import_evp_state_dict(load_torch_pth(args.pretrained_evp), cfg.depths)
-        variables = {
-            "params": merge_pretrained(dict(variables["params"]), p),
-            "batch_stats": merge_pretrained(dict(variables["batch_stats"]), bs),
-        }
-        print(f"imported full EVP stage-2 weights from {args.pretrained_evp}")
-        step = None
-    else:
-        step = args.step if args.step >= 0 else store.best_step("val_acc")
-        step = step if step is not None else store.latest_step()
-    if step is not None:
-        # Restore params AND batch_stats: extraction must run with trained BN
-        # running statistics, matching the reference's model.eval() semantics
-        # (generate_evp_LFB.py:412-437).
-        restored = store.restore(
-            step,
-            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
-        )
-        variables = {**variables, **restored}
-        print(f"restored backbone checkpoint step {step}")
+    variables, step = _restore_backbone_variables(args, model, cfg, size=250)
     # chained dispatch (production path of the BENCH headline): one jit call
     # runs `chain_depth` batches via lax.scan so per-dispatch latency never
     # drains the chip between batches; depth 1 falls back to per-batch
@@ -413,42 +425,16 @@ def cmd_export_serving(args) -> int:
     self-contained jax.export artifact loadable WITHOUT this package
     (serving/export.py). Replaces the reference's deploy-by-shipping-the-
     training-repo (generate_evp_LFB.py:400-437)."""
-    import jax
-
-    from surgical_tpu.core.checkpoint import CheckpointStore
     from surgical_tpu.serving.export import export_feature_extractor, save_artifact
 
     model, cfg = _build_model(args)
-    import jax.numpy as jnp
-
     S = args.size
-    z = jnp.zeros((1, S, S, 3))
-    variables = model.init(jax.random.key(0), z, z, jnp.zeros((1, S, S, 2)))
-    step = None
-    if args.pretrained_evp:
-        from surgical_tpu.models.convert import (
-            import_evp_state_dict, load_torch_pth, merge_pretrained,
-        )
-
-        p, bs = import_evp_state_dict(load_torch_pth(args.pretrained_evp), cfg.depths)
-        variables = {
-            "params": merge_pretrained(dict(variables["params"]), p),
-            "batch_stats": merge_pretrained(dict(variables["batch_stats"]), bs),
-        }
-        print(f"imported full EVP stage-2 weights from {args.pretrained_evp}")
-    elif args.work:
-        store = CheckpointStore(os.path.join(args.work, "ckpt", "backbone"))
-        step = args.step if args.step >= 0 else store.best_step("val_acc")
-        step = step if step is not None else store.latest_step()
-        if step is None:
+    # the SHARED restore path (same as extract-features — artifacts must
+    # carry exactly the weights extraction would use)
+    variables, step = _restore_backbone_variables(args, model, cfg, size=S)
+    if step is None and not args.pretrained_evp:
+        if args.work:
             raise SystemExit(f"no backbone checkpoint under {args.work}")
-        restored = store.restore(
-            step,
-            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
-        )
-        variables = {**variables, **restored}
-        print(f"restored backbone checkpoint step {step}")
-    else:
         print("WARNING: exporting with RANDOM init (no --work / "
               "--pretrained-evp)", file=sys.stderr)
 

@@ -30,8 +30,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax import export as jexport
 
-from surgical_tpu.core.config import CHOLEC80_MEAN, CHOLEC80_STD
-
 _BLOB = "serving_graph.jaxexport"
 _MANIFEST = "manifest.json"
 
@@ -54,28 +52,31 @@ def export_feature_extractor(
     Output: [B, D] features (``features=True``, the LFB extraction
     contract) or (phase logits, anticipation logits).
     """
-    mean = (jnp.asarray(CHOLEC80_MEAN, jnp.float32) * 255.0).astype(jnp.bfloat16)
-    inv_std = (1.0 / (jnp.asarray(CHOLEC80_STD, jnp.float32) * 255.0)).astype(jnp.bfloat16)
+    # the SAME dequant + fused/flax forward selection the extraction path
+    # runs (train/extract.py) — a second copy would silently desync the
+    # artifact from the features the temporal models were trained on
+    from surgical_tpu.train.extract import _serving_forward, wire_dequant
 
-    if use_fused:
+    dequant = wire_dequant()
+    if features:
+        forward = _serving_forward(model, use_fused)
+    elif use_fused:
         from surgical_tpu.models.mit_fused import fused_forward
 
-        def forward(img, seg, flow):
+        def forward(variables, img, seg, flow):
             return fused_forward(
                 variables["params"], variables["batch_stats"], img, seg, flow,
-                model.cfg, model.head_cfg, return_features=features, bt=32,
+                model.cfg, model.head_cfg, return_features=False, bt=32,
             )
     else:
-        def forward(img, seg, flow):
+        def forward(variables, img, seg, flow):
             return model.apply(variables, img, seg, flow,
-                               return_features=features)
+                               return_features=False)
 
     def serve(img_u8, seg_u8, flow_f16=None):
-        img = (img_u8.astype(jnp.bfloat16) - mean) * inv_std
-        seg = jnp.broadcast_to(
-            (seg_u8.astype(jnp.bfloat16) - mean) * inv_std, img.shape)
+        img, seg = dequant(img_u8, seg_u8)
         flow = None if flow_f16 is None else flow_f16.astype(jnp.bfloat16)
-        out = forward(img, seg, flow)
+        out = forward(variables, img, seg, flow)
         if features:
             return out.astype(d2h_dtype)
         return tuple(o.astype(d2h_dtype) for o in out)
@@ -135,8 +136,12 @@ def load_artifact(directory: str):
     with open(os.path.join(directory, _BLOB), "rb") as f:
         exported = jexport.deserialize(f.read())
 
+    # jit ONCE: Exported.call builds a fresh traceable per invocation, so an
+    # unjitted per-frame loop would re-trace every call (milliseconds/frame)
+    fn_jit = jax.jit(exported.call)
+
     def fn(*args):
-        return exported.call(*args)
+        return fn_jit(*args)
 
     fn.manifest = json.load(open(os.path.join(directory, _MANIFEST)))
     fn.exported = exported

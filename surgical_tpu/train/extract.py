@@ -63,6 +63,21 @@ def _use_fused_default(model, mesh) -> bool:
     )
 
 
+def wire_dequant():
+    """The wire-format dequant/normalize shared by EVERY path that consumes
+    uint8 frames (extraction, serving export): bf16 (x - mean) / std with
+    the Cholec80 channel stats, segmap broadcast to 3 channels."""
+    mean = (jnp.asarray(CHOLEC80_MEAN, jnp.float32) * 255.0).astype(jnp.bfloat16)
+    inv_std = (1.0 / (jnp.asarray(CHOLEC80_STD, jnp.float32) * 255.0)).astype(jnp.bfloat16)
+
+    def dequant(img_u8, seg_u8):
+        img = (img_u8.astype(jnp.bfloat16) - mean) * inv_std
+        seg = (seg_u8.astype(jnp.bfloat16) - mean) * inv_std
+        return img, jnp.broadcast_to(seg, img.shape)
+
+    return dequant
+
+
 def _serving_forward(model, use_fused):
     if not use_fused:
         return lambda variables, img, seg, flow: model.apply(
@@ -98,15 +113,12 @@ def make_raw_feature_fn(model, variables, mesh=None, use_fused=None,
     forward = _serving_forward(model, use_fused)
     variables = meshlib.replicate(mesh, variables)
     batch_shard = meshlib.batch_sharding(mesh)
-    mean = (jnp.asarray(CHOLEC80_MEAN, jnp.float32) * 255.0).astype(jnp.bfloat16)
-    inv_std = (1.0 / (jnp.asarray(CHOLEC80_STD, jnp.float32) * 255.0)).astype(jnp.bfloat16)
+    dequant = wire_dequant()
 
     @jax.jit
     def feature_fn(variables, img_u8, seg_u8, flow_f16):
         # bf16 dequant halves the materialized activation traffic
-        img = (img_u8.astype(jnp.bfloat16) - mean) * inv_std
-        seg = (seg_u8.astype(jnp.bfloat16) - mean) * inv_std  # [B,H,W,1] bc over ch
-        seg = jnp.broadcast_to(seg, img.shape)
+        img, seg = dequant(img_u8, seg_u8)
         flow = None if flow_f16 is None else flow_f16.astype(jnp.bfloat16)
         return forward(variables, img, seg, flow).astype(d2h_dtype)
 
@@ -142,16 +154,13 @@ def make_raw_feature_chain_fn(model, variables, mesh=None, depth: int = 16,
     variables = meshlib.replicate(mesh, variables)
     # [S, B, ...]: shard the BATCH axis (dim 1) over the data mesh
     batch_shard = NamedSharding(mesh, P(None, meshlib.DATA_AXIS))
-    mean = (jnp.asarray(CHOLEC80_MEAN, jnp.float32) * 255.0).astype(jnp.bfloat16)
-    inv_std = (1.0 / (jnp.asarray(CHOLEC80_STD, jnp.float32) * 255.0)).astype(jnp.bfloat16)
+    dequant = wire_dequant()
 
     @jax.jit
     def chain_fn(variables, img_u8, seg_u8, flow_f16):
         def step(_, inputs):
             img_b, seg_b, flow_b = inputs
-            img = (img_b.astype(jnp.bfloat16) - mean) * inv_std
-            seg = (seg_b.astype(jnp.bfloat16) - mean) * inv_std
-            seg = jnp.broadcast_to(seg, img.shape)
+            img, seg = dequant(img_b, seg_b)
             flow = None if flow_b is None else flow_b.astype(jnp.bfloat16)
             feats = forward(variables, img, seg, flow)
             return None, feats.astype(d2h_dtype)

@@ -57,7 +57,7 @@ def test_export_roundtrip_features(tmp_path):
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
 
     assert fn.manifest["variant"] == "tiny"
-    assert fn.manifest["platforms"] == ["cpu"]
+    assert fn.manifest["platforms"] == [jax.default_backend()]
 
 
 def test_export_no_flow_and_logits(tmp_path):
