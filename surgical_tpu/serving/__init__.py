@@ -12,5 +12,6 @@ per frame, bit-compatible with the offline forward on the same parameters.
 from surgical_tpu.serving.online import (  # noqa: F401
     OnlineMamba,
     OnlineMSTCN,
+    OnlineRefiner,
     OnlineSession,
 )

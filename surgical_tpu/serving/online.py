@@ -183,6 +183,57 @@ class OnlineMamba:
         return outs
 
 
+# -------------------------------------------------------------- refiner
+
+
+class OnlineRefiner:
+    """Streaming RefinementTransformer (models/transsv.py:196-231).
+
+    The refiner is STRICTLY CAUSAL: frame t consumes the zero-left-padded
+    window of the last ``len_q`` temporal logits plus its own LFB feature —
+    so the online state is one ring buffer of ``len_q`` logits and the
+    streaming output is exact with ZERO added latency. The step applies the
+    offline module to the buffered window (rows are independent; the last
+    row's window IS the buffer, and the zero-filled pre-history matches
+    ``causal_windows``'s padding exactly), then keeps only that last row.
+    """
+
+    def __init__(self, model, params: dict):
+        self.cfg = model.cfg
+        self.model = model
+        self.params = params
+        self._step = jax.jit(self._step_impl)
+
+    def init_state(self) -> jax.Array:
+        return jnp.zeros((self.cfg.len_q, self.cfg.out_features), jnp.float32)
+
+    def _step_impl(self, buf, g_t, lfb_t):
+        buf = jnp.roll(buf, -1, axis=0).at[-1].set(g_t)
+        # only the LAST row's output is the true frame-t refinement; earlier
+        # rows see truncated windows and are discarded. lfb is broadcast —
+        # each row's decoder reads only its own feas, so the last row is
+        # exact.
+        lfb_rows = jnp.broadcast_to(lfb_t[None], (self.cfg.len_q,) + lfb_t.shape)
+        out = self.model.apply(self.params, buf, lfb_rows)
+        return buf, out[-1]
+
+    def step(self, state, g_t: jax.Array, lfb_t: jax.Array):
+        """(buffer, final-stage temporal logits [out], LFB feature [f_dim])
+        -> (buffer', refined logits [out])."""
+        return self._step(state, g_t, lfb_t)
+
+    def run(self, temporal_logits: jax.Array, lfb: jax.Array) -> jax.Array:
+        """[T, out], [T, f_dim] -> [T, out] via lax.scan over step."""
+        state = self.init_state()
+
+        def body(buf, inp):
+            g_t, lfb_t = inp
+            return self._step_impl(buf, g_t, lfb_t)
+
+        _, outs = jax.lax.scan(body, state, (temporal_logits, lfb))
+        return outs
+
+
 # -------------------------------------------------------------- session
 
 
@@ -196,6 +247,7 @@ class OnlineSession:
     """
 
     def __init__(self, backbone, variables: dict, temporal,
+                 refiner: Optional["OnlineRefiner"] = None,
                  use_fused: Optional[bool] = None):
         from surgical_tpu.parallel.mesh import make_mesh
         from surgical_tpu.train.extract import make_raw_feature_fn
@@ -206,21 +258,31 @@ class OnlineSession:
             backbone, variables, mesh=make_mesh(1), use_fused=use_fused,
             d2h_dtype=jnp.float32)
         self.temporal = temporal
+        self.refiner = refiner
         self.state = temporal.init_state()
+        self.refiner_state = refiner.init_state() if refiner else None
         self.frame_idx = 0
 
     def reset(self):
         self.state = self.temporal.init_state()
+        if self.refiner:
+            self.refiner_state = self.refiner.init_state()
         self.frame_idx = 0
 
     def step(self, img_u8: np.ndarray, seg_u8: np.ndarray,
              flow_f16: Optional[np.ndarray]) -> np.ndarray:
         """One frame ([H, W, 3] u8, [H, W, 1] u8, [H, W, 2] f16|None) ->
-        temporal logits for this frame (final stage for MS-TCN)."""
+        this frame's logits: refined (when a refiner is attached — the full
+        reference pipeline, online) or the temporal model's final stage."""
         feat = self._feature_fn(
             img_u8[None], seg_u8[None],
             None if flow_f16 is None else flow_f16[None],
-        )[0]
-        self.state, logits = self.temporal.step(self.state, feat.astype(jnp.float32))
+        )[0].astype(jnp.float32)
+        self.state, logits = self.temporal.step(self.state, feat)
+        g_t = logits[-1] if logits.ndim == 2 else logits
         self.frame_idx += 1
-        return np.asarray(logits[-1] if logits.ndim == 2 else logits)
+        if self.refiner is not None:
+            self.refiner_state, refined = self.refiner.step(
+                self.refiner_state, g_t, feat)
+            return np.asarray(refined)
+        return np.asarray(g_t)

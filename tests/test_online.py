@@ -174,3 +174,86 @@ def test_online_session_end_to_end():
 
     session.reset()
     assert session.frame_idx == 0
+
+
+def test_online_refiner_matches_offline():
+    """The refinement transformer is strictly causal (frame t = its own LFB
+    feature + the last len_q temporal logits), so the streaming form must be
+    exact with zero added latency."""
+    from surgical_tpu.core.config import RefinerConfig
+    from surgical_tpu.models.transsv import RefinementTransformer
+    from surgical_tpu.serving.online import OnlineRefiner
+
+    cfg = RefinerConfig(f_maps=16, f_dim=24, len_q=6)
+    model = RefinementTransformer(cfg)
+    T = 25
+    rng = np.random.default_rng(10)
+    g = jnp.asarray(rng.standard_normal((T, cfg.out_features)).astype(np.float32))
+    lfb = jnp.asarray(rng.standard_normal((T, cfg.f_dim)).astype(np.float32))
+    params = model.init(jax.random.key(11), g, lfb)
+
+    want = model.apply(params, g, lfb)  # [T, out]
+    online = OnlineRefiner(model, params)
+    got = online.run(g, lfb)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    # per-frame step() matches run()
+    state = online.init_state()
+    for t in range(8):
+        state, refined = online.step(state, g[t], lfb[t])
+        np.testing.assert_allclose(np.asarray(refined), np.asarray(got[t]),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_online_session_with_refiner():
+    """Full reference pipeline streaming: backbone -> MS-TCN -> refiner,
+    frame by frame, equal to the offline composition."""
+    import numpy as np
+
+    from surgical_tpu.core.config import BackboneConfig, HeadConfig, RefinerConfig
+    from surgical_tpu.models.mit_evp import MiTEVP
+    from surgical_tpu.models.transsv import RefinementTransformer
+    from surgical_tpu.serving.online import OnlineRefiner, OnlineSession
+
+    bcfg = BackboneConfig.preset("tiny")
+    head = HeadConfig(embedding_dim=16, hidden=8)
+    backbone = MiTEVP(bcfg, head)
+    S = 64
+    z = jnp.zeros((1, S, S, 3), jnp.float32)
+    variables = backbone.init(jax.random.key(0), z, z,
+                              jnp.zeros((1, S, S, 2), jnp.float32))
+
+    tcfg = MSTCNConfig(stages=2, layers=2, f_maps=8, f_dim=16)
+    tmodel = MultiStageTCN(tcfg)
+    tparams = tmodel.init(jax.random.key(1), jnp.zeros((1, 4, 16)))
+
+    rcfg = RefinerConfig(f_maps=8, f_dim=16, len_q=4)
+    rmodel = RefinementTransformer(rcfg)
+    rparams = rmodel.init(jax.random.key(2), jnp.zeros((4, rcfg.out_features)),
+                          jnp.zeros((4, rcfg.f_dim)))
+
+    session = OnlineSession(backbone, variables, OnlineMSTCN(tmodel, tparams),
+                            refiner=OnlineRefiner(rmodel, rparams))
+    rng = np.random.default_rng(12)
+    T = 5
+    imgs = rng.integers(0, 255, (T, S, S, 3), dtype=np.uint8)
+    segs = rng.integers(0, 255, (T, S, S, 1), dtype=np.uint8)
+    flows = rng.standard_normal((T, S, S, 2)).astype(np.float16)
+
+    online_out = np.stack([
+        session.step(imgs[t], segs[t], flows[t]) for t in range(T)
+    ])
+
+    # offline composition
+    from surgical_tpu.parallel.mesh import make_mesh
+    from surgical_tpu.train.extract import make_raw_feature_fn
+
+    feat_fn = make_raw_feature_fn(backbone, variables, mesh=make_mesh(1),
+                                  d2h_dtype=jnp.float32)
+    feats = np.asarray(feat_fn(imgs, segs, flows), np.float32)
+    g = tmodel.apply(tparams, feats[None])[-1, 0]          # [T, out]
+    offline = rmodel.apply(rparams, g, jnp.asarray(feats))  # [T, out]
+    np.testing.assert_allclose(online_out, np.asarray(offline),
+                               rtol=1e-4, atol=1e-4)
