@@ -113,6 +113,24 @@ def export_online_temporal(online, feat_dim: int):
     return jexport.export(jax.jit(step))(*specs)
 
 
+def export_online_refiner(online, feat_dim: int):
+    """Export the streaming refiner step (serving/online.py OnlineRefiner):
+    fn(buffer, g_t, lfb_t) -> (buffer', refined). With the backbone and
+    temporal-step artifacts, the ENTIRE reference pipeline (backbone ->
+    MS-TCN -> refinement) deploys as three model-code-free artifacts."""
+    buf0 = online.init_state()
+
+    def step(buf, g_t, lfb_t):
+        return online._step_impl(buf, g_t, lfb_t)
+
+    specs = (
+        jax.ShapeDtypeStruct(buf0.shape, buf0.dtype),
+        jax.ShapeDtypeStruct((online.cfg.out_features,), jnp.float32),
+        jax.ShapeDtypeStruct((feat_dim,), jnp.float32),
+    )
+    return jexport.export(jax.jit(step))(*specs)
+
+
 def save_artifact(directory: str, exported, meta: Optional[dict] = None) -> None:
     os.makedirs(directory, exist_ok=True)
     blob = exported.serialize()

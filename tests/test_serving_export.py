@@ -139,3 +139,33 @@ def test_export_online_mamba_step(tmp_path):
         state_live, live_logits = online.step(state_live, jnp.asarray(xs[t]))
         np.testing.assert_allclose(np.asarray(logits), np.asarray(live_logits),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_export_online_refiner_step(tmp_path):
+    """The streaming refiner step round-trips through jax.export: the len_q
+    window buffer threads through the artifact; refined logits match."""
+    from surgical_tpu.core.config import RefinerConfig
+    from surgical_tpu.models.transsv import RefinementTransformer
+    from surgical_tpu.serving.export import export_online_refiner
+    from surgical_tpu.serving.online import OnlineRefiner
+
+    cfg = RefinerConfig(f_maps=8, f_dim=16, len_q=4)
+    model = RefinementTransformer(cfg)
+    params = model.init(jax.random.key(0), jnp.zeros((4, cfg.out_features)),
+                        jnp.zeros((4, cfg.f_dim)))
+    online = OnlineRefiner(model, params)
+
+    exported = export_online_refiner(online, cfg.f_dim)
+    save_artifact(str(tmp_path / "rart"), exported, meta={"model": "refiner"})
+    fn = load_artifact(str(tmp_path / "rart"))
+
+    rng = np.random.default_rng(7)
+    buf = np.asarray(online.init_state())
+    state_live = online.init_state()
+    for t in range(6):
+        g = rng.standard_normal(cfg.out_features).astype(np.float32)
+        lfb = rng.standard_normal(cfg.f_dim).astype(np.float32)
+        buf, refined = fn(buf, g, lfb)
+        state_live, live = online.step(state_live, jnp.asarray(g), jnp.asarray(lfb))
+        np.testing.assert_allclose(np.asarray(refined), np.asarray(live),
+                                   rtol=1e-5, atol=1e-5)
