@@ -22,15 +22,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from surgical_tpu.core.config import BackboneConfig, HeadConfig, MSTCNConfig
+from surgical_tpu.core.config import (
+    BackboneConfig,
+    HeadConfig,
+    MSTCNConfig,
+    RefinerConfig,
+)
 from surgical_tpu.models.mit_evp import MiTEVP
 from surgical_tpu.models.mstcn import MultiStageTCN
+from surgical_tpu.models.transsv import RefinementTransformer
 from surgical_tpu.serving.export import (
     export_feature_extractor,
     load_artifact,
     save_artifact,
 )
-from surgical_tpu.serving.online import OnlineMSTCN, OnlineSession
+from surgical_tpu.serving.online import OnlineMSTCN, OnlineRefiner, OnlineSession
 
 
 def main():
@@ -68,17 +74,24 @@ def main():
     tcfg = MSTCNConfig(stages=2, layers=3, f_maps=8, f_dim=32)
     tmodel = MultiStageTCN(tcfg)
     tparams = tmodel.init(jax.random.key(1), jnp.zeros((1, 4, 32)))
+    rcfg = RefinerConfig(f_maps=8, f_dim=32, len_q=4)
+    rmodel = RefinementTransformer(rcfg)
+    rparams = rmodel.init(jax.random.key(2),
+                          jnp.zeros((4, rcfg.out_features)),
+                          jnp.zeros((4, rcfg.f_dim)))
     # use_fused=True: exercise the Pallas per-block kernels at B=1 — the
     # graph a PRODUCTION OnlineSession serves (non-tiny + 1-device TPU mesh
     # routes fused by default; B=1 is a batch the kernels never see in the
-    # B=128 extraction benchmarks, so its grid/VMEM shape must be proven)
+    # B=128 extraction benchmarks, so its grid/VMEM shape must be proven).
+    # The refiner makes this the FULL reference pipeline, streaming.
     session = OnlineSession(model, variables, OnlineMSTCN(tmodel, tparams),
+                            refiner=OnlineRefiner(rmodel, rparams),
                             use_fused=True)
     logits = [session.step(img[0], seg[0], flw[0]) for _ in range(3)]
     assert all(np.isfinite(l).all() for l in logits)
-    print("online session on-chip (fused Pallas backbone, B=1): 3 frames,",
-          f"logits[{logits[-1].shape}] finite, frame_idx={session.frame_idx}",
-          flush=True)
+    print("online session on-chip (fused Pallas backbone B=1 -> MS-TCN -> "
+          f"refiner): 3 frames, logits[{logits[-1].shape}] finite, "
+          f"frame_idx={session.frame_idx}", flush=True)
     print("TPU serving selfcheck OK", flush=True)
 
 
