@@ -4,8 +4,9 @@ session must work on the real TPU, not just under the CPU test suite.
 1. export the tiny backbone (flax graph AND the Pallas-fused graph) via
    jax.export on this chip, serialize -> deserialize -> call, and check
    parity between the two artifacts;
-2. drive OnlineSession (B=1 backbone micro-batch -> streaming MS-TCN) for
-   a few frames and check the logits are finite and final.
+2. drive OnlineSession — the FULL streaming pipeline: B=1 fused-Pallas
+   backbone micro-batch -> streaming MS-TCN -> streaming refiner — for a
+   few frames and check the logits are finite and final.
 
 Run on TPU: python scripts/tpu_serving_selfcheck.py
 """

@@ -200,25 +200,25 @@ class RefinementTransformer(nn.Module):
 
     __call__(temporal_logits [T, out_features], lfb [T, f_dim])
         -> [T, out_features]
+
+    setup-style so the streaming path can reuse the same submodules:
+    ``refine_window`` (via ``apply(..., method=...)``) runs ONE precomputed
+    causal window — the per-frame form serving/online.OnlineRefiner steps
+    with, identical math to the corresponding row of ``__call__``.
     """
 
     cfg: RefinerConfig
 
-    @nn.compact
-    def __call__(self, temporal_logits: jax.Array, lfb: jax.Array) -> jax.Array:
+    def setup(self):
         cfg = self.cfg
-        # g̃ₜ: causal windows of the temporal logits (one gather, not a loop)
-        windows = causal_windows(temporal_logits, cfg.len_q)  # [T, len_q, C]
-        # l̃ₜ = tanh(fc(LFB)) (adapter_transformer.py:346-347; fc bias=False)
-        feas = jnp.tanh(
-            nn.Dense(
-                cfg.out_features,
-                use_bias=False,
-                kernel_init=torch_like_uniform(cfg.f_dim),
-                name="fc",
-            )(lfb)
-        )[:, None, :]  # [T, 1, C]
-        out = Transformer231(
+        # attribute names = param scopes: identical tree to the previous
+        # @nn.compact form (name="fc" / name="transformer")
+        self.fc = nn.Dense(
+            cfg.out_features,
+            use_bias=False,
+            kernel_init=torch_like_uniform(cfg.f_dim),
+        )
+        self.transformer = Transformer231(
             d_model=cfg.out_features,
             d_ff=cfg.f_maps,
             d_k=cfg.d_k,
@@ -226,6 +226,18 @@ class RefinementTransformer(nn.Module):
             n_layers=cfg.n_layers,
             n_heads=cfg.n_heads,
             len_q=cfg.len_q,
-            name="transformer",
-        )(windows, feas)
-        return out[:, 0, :]  # [T, out_features]
+        )
+
+    def __call__(self, temporal_logits: jax.Array, lfb: jax.Array) -> jax.Array:
+        # g̃ₜ: causal windows of the temporal logits (one gather, not a loop)
+        windows = causal_windows(temporal_logits, self.cfg.len_q)  # [T, len_q, C]
+        # l̃ₜ = tanh(fc(LFB)) (adapter_transformer.py:346-347; fc bias=False)
+        feas = jnp.tanh(self.fc(lfb))[:, None, :]  # [T, 1, C]
+        return self.transformer(windows, feas)[:, 0, :]  # [T, out_features]
+
+    def refine_window(self, window: jax.Array, lfb_t: jax.Array) -> jax.Array:
+        """Streaming form: one zero-left-padded causal window
+        [len_q, out_features] + this frame's LFB feature [f_dim] ->
+        refined logits [out_features]."""
+        feas = jnp.tanh(self.fc(lfb_t[None]))[:, None, :]  # [1, 1, C]
+        return self.transformer(window[None], feas)[0, 0]

@@ -113,11 +113,13 @@ def export_online_temporal(online, feat_dim: int):
     return jexport.export(jax.jit(step))(*specs)
 
 
-def export_online_refiner(online, feat_dim: int):
+def export_online_refiner(online):
     """Export the streaming refiner step (serving/online.py OnlineRefiner):
     fn(buffer, g_t, lfb_t) -> (buffer', refined). With the backbone and
     temporal-step artifacts, the ENTIRE reference pipeline (backbone ->
-    MS-TCN -> refinement) deploys as three model-code-free artifacts."""
+    MS-TCN -> refinement) deploys as three model-code-free artifacts.
+    The LFB dim comes from the refiner config (it is frozen into the baked
+    fc kernel; a parameter could only ever restate it)."""
     buf0 = online.init_state()
 
     def step(buf, g_t, lfb_t):
@@ -126,7 +128,7 @@ def export_online_refiner(online, feat_dim: int):
     specs = (
         jax.ShapeDtypeStruct(buf0.shape, buf0.dtype),
         jax.ShapeDtypeStruct((online.cfg.out_features,), jnp.float32),
-        jax.ShapeDtypeStruct((feat_dim,), jnp.float32),
+        jax.ShapeDtypeStruct((online.cfg.f_dim,), jnp.float32),
     )
     return jexport.export(jax.jit(step))(*specs)
 

@@ -192,16 +192,19 @@ class OnlineRefiner:
     The refiner is STRICTLY CAUSAL: frame t consumes the zero-left-padded
     window of the last ``len_q`` temporal logits plus its own LFB feature —
     so the online state is one ring buffer of ``len_q`` logits and the
-    streaming output is exact with ZERO added latency. The step applies the
-    offline module to the buffered window (rows are independent; the last
-    row's window IS the buffer, and the zero-filled pre-history matches
-    ``causal_windows``'s padding exactly), then keeps only that last row.
+    streaming output is exact with ZERO added latency. The step runs
+    ``RefinementTransformer.refine_window`` on the buffer (the buffer IS
+    frame t's causal window; zero-filled pre-history matches the offline
+    ``causal_windows`` padding exactly) — one window, not the offline
+    all-rows application.
     """
 
     def __init__(self, model, params: dict):
         self.cfg = model.cfg
         self.model = model
-        self.params = params
+        # accept bare trees too (import_refiner_state_dict returns one),
+        # matching the OnlineMSTCN/OnlineMamba convention
+        self.params = {"params": _tree(params)}
         self._step = jax.jit(self._step_impl)
 
     def init_state(self) -> jax.Array:
@@ -209,13 +212,11 @@ class OnlineRefiner:
 
     def _step_impl(self, buf, g_t, lfb_t):
         buf = jnp.roll(buf, -1, axis=0).at[-1].set(g_t)
-        # only the LAST row's output is the true frame-t refinement; earlier
-        # rows see truncated windows and are discarded. lfb is broadcast —
-        # each row's decoder reads only its own feas, so the last row is
-        # exact.
-        lfb_rows = jnp.broadcast_to(lfb_t[None], (self.cfg.len_q,) + lfb_t.shape)
-        out = self.model.apply(self.params, buf, lfb_rows)
-        return buf, out[-1]
+        out = self.model.apply(
+            self.params, buf, lfb_t,
+            method=type(self.model).refine_window,
+        )
+        return buf, out
 
     def step(self, state, g_t: jax.Array, lfb_t: jax.Array):
         """(buffer, final-stage temporal logits [out], LFB feature [f_dim])
@@ -262,6 +263,17 @@ class OnlineSession:
         self.state = temporal.init_state()
         self.refiner_state = refiner.init_state() if refiner else None
         self.frame_idx = 0
+        if refiner is not None:
+            # ONE jitted dispatch for temporal + refiner per frame (two tiny
+            # steps; a separate dispatch each would double the fixed
+            # per-call cost on the latency path)
+            def _tr(ts, rs, feat):
+                ts2, logits = temporal._step_impl(ts, feat)
+                g_t = logits[-1] if logits.ndim == 2 else logits
+                rs2, refined = refiner._step_impl(rs, g_t, feat)
+                return ts2, rs2, refined
+
+            self._tr_step = jax.jit(_tr)
 
     def reset(self):
         self.state = self.temporal.init_state()
@@ -278,11 +290,10 @@ class OnlineSession:
             img_u8[None], seg_u8[None],
             None if flow_f16 is None else flow_f16[None],
         )[0].astype(jnp.float32)
-        self.state, logits = self.temporal.step(self.state, feat)
-        g_t = logits[-1] if logits.ndim == 2 else logits
         self.frame_idx += 1
         if self.refiner is not None:
-            self.refiner_state, refined = self.refiner.step(
-                self.refiner_state, g_t, feat)
+            self.state, self.refiner_state, refined = self._tr_step(
+                self.state, self.refiner_state, feat)
             return np.asarray(refined)
-        return np.asarray(g_t)
+        self.state, logits = self.temporal.step(self.state, feat)
+        return np.asarray(logits[-1] if logits.ndim == 2 else logits)

@@ -155,7 +155,7 @@ def test_export_online_refiner_step(tmp_path):
                         jnp.zeros((4, cfg.f_dim)))
     online = OnlineRefiner(model, params)
 
-    exported = export_online_refiner(online, cfg.f_dim)
+    exported = export_online_refiner(online)
     save_artifact(str(tmp_path / "rart"), exported, meta={"model": "refiner"})
     fn = load_artifact(str(tmp_path / "rart"))
 
