@@ -315,6 +315,52 @@ def bench_online_streaming(T: int = 2048, rounds: int = 4):
     return T / best
 
 
+def bench_online_refined_streaming(T: int = 2048, rounds: int = 4):
+    """Full streaming pipeline rate (temporal + refinement per frame, the
+    serving composition OnlineSession runs): MS-TCN ring-buffer step chained
+    into the refiner's single-window step, scanned over T frames in one
+    dispatch."""
+    from surgical_tpu.core.config import MSTCNConfig, RefinerConfig
+    from surgical_tpu.models.mstcn import MultiStageTCN
+    from surgical_tpu.models.transsv import RefinementTransformer
+    from surgical_tpu.serving.online import OnlineMSTCN, OnlineRefiner
+
+    tcfg = MSTCNConfig(stages=2, layers=8, f_maps=32, f_dim=2048)
+    tmodel = MultiStageTCN(tcfg)
+    feats = jax.device_put(
+        np.random.default_rng(0).standard_normal((T, tcfg.f_dim)).astype(np.float32)
+    )
+    tparams = tmodel.init(jax.random.key(0), feats[:1][None])
+    temporal = OnlineMSTCN(tmodel, tparams)
+
+    rcfg = RefinerConfig(f_maps=32, f_dim=tcfg.f_dim)
+    rmodel = RefinementTransformer(rcfg)
+    rparams = rmodel.init(jax.random.key(1),
+                          jnp.zeros((rcfg.len_q, rcfg.out_features)),
+                          jnp.zeros((rcfg.len_q, rcfg.f_dim)))
+    refiner = OnlineRefiner(rmodel, rparams)
+
+    @jax.jit
+    def run(feats):
+        def body(carry, feat):
+            ts, rs = carry
+            ts, logits = temporal._step_impl(ts, feat)
+            rs, refined = refiner._step_impl(rs, logits[-1], feat)
+            return (ts, rs), refined
+
+        _, outs = jax.lax.scan(
+            body, (temporal.init_state(), refiner.init_state()), feats)
+        return outs[-1, :1]
+
+    _ = np.asarray(run(feats))
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        _ = np.asarray(run(feats))
+        best = min(best, time.perf_counter() - t0)
+    return T / best
+
+
 def bench_mamba_inference(T: int = 2048, iters: int = 20):
     """Causal Mamba whole-video forward on the Pallas selective-scan kernel."""
     from surgical_tpu.core.config import MambaConfig
@@ -351,6 +397,7 @@ def main():
     video_s = bench_temporal_inference()
     mamba_s = bench_mamba_inference()
     online_fps = bench_online_streaming()
+    online_refined_fps = bench_online_refined_streaming()
     decode_fps = bench_native_decode()
     cache_fps = bench_cache_read()
     # headline = the PRODUCTION path (cli extract-features' chained pipeline
@@ -379,6 +426,7 @@ def main():
             "temporal_vs_baseline": round(BASELINE_VIDEO_LATENCY_S / video_s, 3),
             "mamba_inference_s_per_video": round(mamba_s, 4),
             "online_streaming_fps": round(online_fps, 1),
+            "online_refined_streaming_fps": round(online_refined_fps, 1),
             "device": str(jax.devices()[0]),
             "protocol": "value/vs_baseline = production chained-dispatch "
                         "pipeline (train/extract.make_raw_feature_chain_fn, "
