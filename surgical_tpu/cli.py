@@ -593,10 +593,33 @@ def cmd_predict(args) -> int:
     r_template, _ = trainer.init(jax.random.key(1), temporal_params, f_dim)
     refiner_params = rstore.restore(rstore.best_step("val_acc"), r_template)
 
+    predict_fn = None
+    if getattr(args, "online", False):
+        # the STREAMING pipeline (serving/online.py) — parity-exact with the
+        # offline composition, run per frame with constant state; `predict
+        # --online` proves the serving path produces the reference's own
+        # output artifacts
+        from surgical_tpu.serving.online import (
+            OnlineMamba, OnlineMSTCN, OnlineRefiner,
+        )
+
+        t_on = (OnlineMamba if args.model == "mamba" else OnlineMSTCN)(
+            temporal, temporal_params)
+        r_on = OnlineRefiner(trainer.refiner, refiner_params)
+
+        def predict_fn(fp):
+            import jax.numpy as jnp
+
+            feats = jnp.asarray(fp, jnp.float32)
+            g = t_on.run(feats)
+            g = g[-1] if g.ndim == 3 else g  # MS-TCN: final stage
+            return r_on.run(g, feats)
+
     video_ids = _split_video_ids(args.work, args.split, ds.num_videos)
     out_dir = os.path.join(_work_paths(args.work)["output"], args.split.capitalize())
     metrics, _, _ = predict_and_write(
-        trainer, temporal_params, refiner_params, ds, out_dir, video_ids
+        trainer, temporal_params, refiner_params, ds, out_dir, video_ids,
+        predict_fn=predict_fn,
     )
     print(json.dumps(metrics, indent=2, default=float))
     return 0
@@ -1098,6 +1121,10 @@ def main(argv=None) -> int:
     sp.set_defaults(fn=cmd_train_refiner)
 
     sp = sub.add_parser("predict")
+    sp.add_argument("--online", action="store_true",
+                    help="run the STREAMING pipeline (serving/online.py) "
+                         "instead of the offline composition — identical "
+                         "outputs, proves the serving path end-to-end")
     sp.add_argument("--work", required=True)
     sp.add_argument("--model", choices=["mstcn", "mamba"], default="mstcn")
     sp.add_argument("--split", choices=["val", "test"], default="test")

@@ -95,16 +95,23 @@ class RefinerTrainer:
             "train_time_s": time.time() - t0,
         }
 
-    def evaluate(self, temporal_params, params, ds: VideoDataset, horizon=None):
+    def evaluate(self, temporal_params, params, ds: VideoDataset, horizon=None,
+                 predict_fn: Callable | None = None):
+        """``predict_fn(lfb [Tp, D]) -> [Tp, out]`` overrides the default
+        jitted temporal+refiner composition — e.g. the STREAMING pipeline
+        (serving/online.py), whose outputs are parity-exact (cli predict
+        --online)."""
         horizon = horizon if horizon is not None else self.cfg.horizon
         triad = MAETriad(horizon=horizon)
         per_video_acc, all_p, all_l, preds_per_video, ant_per_video = [], [], [], [], []
+        if predict_fn is None:
+            predict_fn = lambda fp: self._predict(temporal_params, params, fp)
         for i in range(ds.num_videos):
             f, l, a = ds.video_arrays(i)
             T = len(l)
             bucket = bucket_length(T, self.cfg.bucket_sizes)
             fp, _ = pad_video(f, bucket)
-            out = np.asarray(self._predict(temporal_params, params, fp))[:T]
+            out = np.asarray(predict_fn(fp))[:T]
             pred = np.argmax(out[:, : self.num_phases], axis=-1)
             ant_pred = out[:, self.num_phases :]
             triad.update(ant_pred, a)
@@ -132,12 +139,14 @@ def predict_and_write(
     out_dir: str,
     video_ids,
     fps: int = 25,
+    predict_fn: Callable | None = None,
 ):
     """trans_SV_output.py equivalent: predictions + txt artifacts + metrics."""
     from surgical_tpu.eval.predictions import video_txt_name, write_phase_txt
     import os
 
-    metrics, preds, ants = trainer.evaluate(temporal_params, refiner_params, ds)
+    metrics, preds, ants = trainer.evaluate(temporal_params, refiner_params, ds,
+                                            predict_fn=predict_fn)
     os.makedirs(out_dir, exist_ok=True)
     for vid, pred in zip(video_ids, preds):
         write_phase_txt(os.path.join(out_dir, video_txt_name(vid)), pred, fps=fps)

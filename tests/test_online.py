@@ -257,3 +257,48 @@ def test_online_session_with_refiner():
     offline = rmodel.apply(rparams, g, jnp.asarray(feats))  # [T, out]
     np.testing.assert_allclose(online_out, np.asarray(offline),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_predict_fn_online_equals_offline(tmp_path):
+    """cli predict --online: the streaming predict_fn injected into
+    RefinerTrainer.evaluate must reproduce the offline jitted composition
+    (same logits, same metrics) over a multi-video dataset."""
+    from surgical_tpu.core.config import RefinerConfig, TrainConfig
+    from surgical_tpu.data.feature_store import FeatureStore
+    from surgical_tpu.models.transsv import RefinementTransformer
+    from surgical_tpu.serving.online import OnlineRefiner
+    from surgical_tpu.train.refiner import RefinerTrainer
+    from surgical_tpu.train.temporal import VideoDataset
+
+    rng = np.random.default_rng(20)
+    f_dim, lengths = 16, [37, 24]
+    feats = rng.standard_normal((sum(lengths), f_dim)).astype(np.float32)
+    store = FeatureStore.create(str(tmp_path / "lfb"), feats, lengths)
+    labels = rng.integers(0, 7, sum(lengths)).astype(np.int32)
+    ant = rng.uniform(0, 1, (sum(lengths), 7)).astype(np.float32)
+    ds = VideoDataset(features=store, labels_phase=labels, labels_ant=ant,
+                      lengths=np.asarray(lengths),
+                      starts=np.asarray([0, lengths[0]]))
+
+    tcfg = MSTCNConfig(stages=2, layers=3, f_maps=8, f_dim=f_dim)
+    temporal = MultiStageTCN(tcfg)
+    tparams = temporal.init(jax.random.key(0), jnp.zeros((1, 8, f_dim)))["params"]
+    rcfg = RefinerConfig(f_maps=8, f_dim=f_dim, len_q=5)
+    trainer = RefinerTrainer(temporal, RefinementTransformer(rcfg), TrainConfig())
+    rparams, _ = trainer.init(jax.random.key(1), tparams, f_dim)
+
+    off_metrics, off_preds, _ = trainer.evaluate(tparams, rparams, ds)
+
+    t_on = OnlineMSTCN(temporal, tparams)
+    r_on = OnlineRefiner(RefinementTransformer(rcfg), rparams)
+
+    def predict_fn(fp):
+        f32 = jnp.asarray(fp, jnp.float32)
+        g = t_on.run(f32)[-1]
+        return r_on.run(g, f32)
+
+    on_metrics, on_preds, _ = trainer.evaluate(tparams, rparams, ds,
+                                               predict_fn=predict_fn)
+    for a, b in zip(off_preds, on_preds):
+        np.testing.assert_array_equal(a, b)
+    assert abs(off_metrics["acc_frame"] - on_metrics["acc_frame"]) < 1e-9
