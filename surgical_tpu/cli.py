@@ -600,7 +600,7 @@ def cmd_predict(args) -> int:
         # --online` proves the serving path produces the reference's own
         # output artifacts
         from surgical_tpu.serving.online import (
-            OnlineMamba, OnlineMSTCN, OnlineRefiner,
+            OnlineMamba, OnlineMSTCN, OnlineRefiner, run_pipeline,
         )
 
         t_on = (OnlineMamba if args.model == "mamba" else OnlineMSTCN)(
@@ -610,10 +610,7 @@ def cmd_predict(args) -> int:
         def predict_fn(fp):
             import jax.numpy as jnp
 
-            feats = jnp.asarray(fp, jnp.float32)
-            g = t_on.run(feats)
-            g = g[-1] if g.ndim == 3 else g  # MS-TCN: final stage
-            return r_on.run(g, feats)
+            return run_pipeline(t_on, r_on, jnp.asarray(fp, jnp.float32))
 
     video_ids = _split_video_ids(args.work, args.split, ds.num_videos)
     out_dir = os.path.join(_work_paths(args.work)["output"], args.split.capitalize())

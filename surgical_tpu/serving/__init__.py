@@ -14,4 +14,5 @@ from surgical_tpu.serving.online import (  # noqa: F401
     OnlineMSTCN,
     OnlineRefiner,
     OnlineSession,
+    run_pipeline,
 )

@@ -36,6 +36,17 @@ def _tree(params: dict) -> dict:
     return params["params"] if "params" in params else params
 
 
+def run_pipeline(temporal, refiner, feats: jax.Array) -> jax.Array:
+    """Whole-sequence streaming composition: temporal run -> final stage ->
+    refiner run. THE one place the temporal->refiner chaining rule lives
+    (MS-TCN runs emit [S, T, out]; Mamba [T, out]); cli predict --online,
+    bench, and the tests all route through it."""
+    g = temporal.run(feats)
+    if g.ndim == 3:  # MS-TCN stage axis
+        g = g[-1]
+    return refiner.run(g, feats)
+
+
 # --------------------------------------------------------------- MS-TCN
 
 
