@@ -309,3 +309,78 @@ def test_predict_fn_online_equals_offline(tmp_path):
         on = np.asarray(predict_fn(fp))[: len(l)]
         np.testing.assert_allclose(on, off, rtol=1e-4, atol=1e-4)
     assert abs(off_metrics["acc_frame"] - on_metrics["acc_frame"]) < 0.05
+
+
+def test_run_pipeline_mamba():
+    """run_pipeline handles the Mamba run shape ([T, out], no stage axis)
+    identically to composing by hand — the cli --online path for --model
+    mamba."""
+    from surgical_tpu.core.config import RefinerConfig
+    from surgical_tpu.models.transsv import RefinementTransformer
+    from surgical_tpu.serving.online import OnlineRefiner, run_pipeline
+
+    mcfg = MambaConfig(layers=1, d_model=8, f_dim=12, d_state=4, d_conv=3,
+                       dropout=0.0)
+    mmodel = CausalMambaModel(mcfg, backend="xla")
+    T = 20
+    rng = np.random.default_rng(30)
+    feats = jnp.asarray(rng.standard_normal((T, mcfg.f_dim)).astype(np.float32))
+    mparams = mmodel.init(jax.random.key(0), feats[None])
+
+    rcfg = RefinerConfig(f_maps=8, f_dim=mcfg.f_dim, len_q=4)
+    rmodel = RefinementTransformer(rcfg)
+    rparams = rmodel.init(jax.random.key(1),
+                          jnp.zeros((4, rcfg.out_features)),
+                          jnp.zeros((4, rcfg.f_dim)))
+
+    t_on = OnlineMamba(mmodel, mparams)
+    r_on = OnlineRefiner(rmodel, rparams)
+    got = run_pipeline(t_on, r_on, feats)
+
+    g = mmodel.apply(mparams, feats[None])[0, 0]
+    want = rmodel.apply(rparams, g, feats)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_online_session_with_mamba():
+    """OnlineSession with a Mamba temporal model (logits have no stage
+    axis) returns the per-frame logits and matches offline."""
+    import numpy as np
+
+    from surgical_tpu.core.config import BackboneConfig, HeadConfig
+    from surgical_tpu.models.mit_evp import MiTEVP
+    from surgical_tpu.parallel.mesh import make_mesh
+    from surgical_tpu.serving.online import OnlineSession
+    from surgical_tpu.train.extract import make_raw_feature_fn
+
+    bcfg = BackboneConfig.preset("tiny")
+    head = HeadConfig(embedding_dim=12, hidden=8)
+    backbone = MiTEVP(bcfg, head)
+    S = 64
+    z = jnp.zeros((1, S, S, 3), jnp.float32)
+    variables = backbone.init(jax.random.key(0), z, z,
+                              jnp.zeros((1, S, S, 2), jnp.float32))
+
+    mcfg = MambaConfig(layers=1, d_model=8, f_dim=12, d_state=4, d_conv=3,
+                       dropout=0.0)
+    mmodel = CausalMambaModel(mcfg, backend="xla")
+    mparams = mmodel.init(jax.random.key(1), jnp.zeros((1, 4, mcfg.f_dim)))
+
+    session = OnlineSession(backbone, variables, OnlineMamba(mmodel, mparams))
+    rng = np.random.default_rng(31)
+    T = 3
+    imgs = rng.integers(0, 255, (T, S, S, 3), dtype=np.uint8)
+    segs = rng.integers(0, 255, (T, S, S, 1), dtype=np.uint8)
+    flows = rng.standard_normal((T, S, S, 2)).astype(np.float16)
+    online_out = np.stack([
+        session.step(imgs[t], segs[t], flows[t]) for t in range(T)
+    ])
+    assert online_out.shape == (T, mcfg.out_features)
+
+    feat_fn = make_raw_feature_fn(backbone, variables, mesh=make_mesh(1),
+                                  d2h_dtype=jnp.float32)
+    feats = np.asarray(feat_fn(imgs, segs, flows), np.float32)
+    offline = mmodel.apply(mparams, feats[None])[0, 0]
+    np.testing.assert_allclose(online_out, np.asarray(offline),
+                               rtol=2e-4, atol=2e-4)
