@@ -110,3 +110,43 @@ def test_cli_cache_then_extract(tmp_path):
                  "--frame-cache", os.path.join(work, "frame_cache")]) == 0
     cached = np.load(os.path.join(work, "lfb", "test", "features.npy"))
     np.testing.assert_allclose(cached, direct, rtol=1e-5, atol=1e-5)
+
+
+def test_cache_modality_mismatch_rejected(tmp_path):
+    """A flow-less cache under a flow model must be REJECTED, not silently
+    served (the model would skip flow fusion and write inconsistent
+    features)."""
+    import pytest
+
+    from surgical_tpu.cli import _write_synthetic_corpus, main
+
+    root = str(tmp_path / "cholec80")
+    work = str(tmp_path / "work")
+    _write_synthetic_corpus(root, num_videos=4, frames=8)
+    assert main(["prepare-data", "--root", root, "--out", work,
+                 "--num-videos", "4", "--scheme", "smoke"]) == 0
+    assert main(["cache-frames", "--work", work, "--splits", "test",
+                 "--no-flow", "--batch-size", "8"]) == 0
+    # train WITH flow (the corpus has no .flo files — the zero-flow
+    # fallback applies — but the model carries flow-encoder params)
+    assert main(["train-backbone", "--work", work, "--variant", "tiny",
+                 "--epochs", "1", "--batch-size", "8", "--lr", "0.01",
+                 "--midval-batches", "1"]) == 0
+    # extract WITHOUT --no-flow against the flow-less cache -> refused
+    with pytest.raises(SystemExit, match="no-flow"):
+        main(["extract-features", "--work", work, "--variant", "tiny",
+              "--batch-size", "8", "--splits", "test",
+              "--frame-cache", os.path.join(work, "frame_cache")])
+
+
+def test_export_serving_requires_checkpoint(tmp_path):
+    """export-serving with a --work that has no backbone checkpoint must
+    fail loudly instead of silently exporting random weights."""
+    import pytest
+
+    from surgical_tpu.cli import main
+
+    with pytest.raises(SystemExit, match="no backbone checkpoint"):
+        main(["export-serving", "--out", str(tmp_path / "art"),
+              "--work", str(tmp_path / "empty_work"), "--variant", "tiny",
+              "--batch-size", "2", "--size", "64"])
