@@ -627,11 +627,15 @@ def cmd_evaluate(args) -> int:
     from surgical_tpu.eval.relaxed import evaluate_videos
     from surgical_tpu.core.config import PHASE_NAMES
 
-    gts, preds = [], []
+    gts, preds, missing = [], [], []
     for vid in range(args.first, args.last + 1):
         g = os.path.join(args.gt, video_txt_name(vid))
         p = os.path.join(args.pred, video_txt_name(vid))
         if not (os.path.exists(g) and os.path.exists(p)):
+            # a silently-shrunk mean would hide a failed prediction write;
+            # the reference errors loudly here (eval_and_vis.py reads every
+            # video in the range unconditionally) — collect and fail below
+            missing.append((vid, "gt" if not os.path.exists(g) else "pred"))
             continue
         gts.append(read_phase_txt(g))
         preds.append(read_phase_txt(p))
@@ -644,6 +648,12 @@ def cmd_evaluate(args) -> int:
                 gts[-1][:m], preds[-1][:m], f"video{vid:02d}",
                 os.path.join(args.vis, f"video{vid:02d}_vis.png"),
             )
+    if missing:
+        for vid, kind in missing:
+            print(f"MISSING {kind} txt for video {vid:02d}", file=sys.stderr)
+    if not gts:
+        print("no evaluable videos in range", file=sys.stderr)
+        return 1
     res = evaluate_videos(gts, preds)
     print(f"{'Phase':<26} {'Jaccard':>14} {'Precision':>14} {'Recall':>14}")
     for i, name in enumerate(PHASE_NAMES):
@@ -654,6 +664,11 @@ def cmd_evaluate(args) -> int:
     print(f"Mean Jaccard:   {res.mean_jacc:.2f} ± {res.std_jacc:.2f}")
     print(f"Mean Precision: {res.mean_prec:.2f} ± {res.std_prec:.2f}")
     print(f"Mean Recall:    {res.mean_rec:.2f} ± {res.std_rec:.2f}")
+    if missing:
+        print(f"evaluate: {len(missing)} of {args.last - args.first + 1} "
+              "expected videos were missing (listed above) — metrics cover "
+              "the remainder only", file=sys.stderr)
+        return 1
     return 0
 
 

@@ -25,6 +25,10 @@ from surgical_tpu.models.mstcn import torch_like_uniform
 
 
 class MambaBlock(nn.Module):
+    # NOTE: serving/online.py::OnlineMamba re-implements this block's math
+    # (conv window + SSM recurrence) against the raw param tree for the
+    # streaming form — keep the two in lockstep; tests/test_online.py holds
+    # the parity.
     cfg: MambaConfig
     backend: str = "auto"
 

@@ -39,7 +39,12 @@ def torch_like_uniform(fan_in: int):
 
 
 class DilatedResidualLayer(nn.Module):
-    """Dilated residual unit (reference mstcn.py:181-214)."""
+    """Dilated residual unit (reference mstcn.py:181-214).
+
+    NOTE: serving/online.py::OnlineMSTCN re-implements this layer's math
+    against the raw param tree for the streaming form — any change to the
+    forward here (ops, epsilons, activation order) must be mirrored there;
+    tests/test_online.py holds the two to 1e-6 parity."""
 
     dilation: int
     channels: int

@@ -40,7 +40,7 @@ def export_feature_extractor(
     batch_size: int,
     *,
     size: int = 224,
-    with_flow: bool = True,
+    with_flow: Optional[bool] = None,
     features: bool = True,
     use_fused: bool = False,
     d2h_dtype=jnp.float32,
@@ -51,7 +51,20 @@ def export_feature_extractor(
     [B, S, S, 1], float16 flow [B, S, S, 2] (omitted when with_flow=False).
     Output: [B, D] features (``features=True``, the LFB extraction
     contract) or (phase logits, anticipation logits).
+
+    ``with_flow`` defaults from the model config; passing it explicitly must
+    agree with ``model.cfg.with_flow`` — a flow-trained model exported
+    without the flow input would bake a graph that silently skips the flow
+    cross-attention.
     """
+    cfg_flow = bool(getattr(getattr(model, "cfg", None), "with_flow", True))
+    if with_flow is None:
+        with_flow = cfg_flow
+    elif bool(with_flow) != cfg_flow:
+        raise ValueError(
+            f"with_flow={with_flow} contradicts model.cfg.with_flow="
+            f"{cfg_flow}: the exported graph would not match the weights "
+            "(rebuild the model with the intended with_flow instead)")
     # the SAME dequant + fused/flax forward selection the extraction path
     # runs (train/extract.py) — a second copy would silently desync the
     # artifact from the features the temporal models were trained on

@@ -260,15 +260,26 @@ class OnlineSession:
 
     def __init__(self, backbone, variables: dict, temporal,
                  refiner: Optional["OnlineRefiner"] = None,
-                 use_fused: Optional[bool] = None):
+                 use_fused: Optional[bool] = None,
+                 feature_dtype=jnp.float16):
         from surgical_tpu.parallel.mesh import make_mesh
         from surgical_tpu.train.extract import make_raw_feature_fn
 
+        # a flow-trained backbone gates its flow fusion on `flow is not None`
+        # (mit_evp.py): serving it without flow would silently produce wrong
+        # features — refuse at step() (mirrors cli extract-features'
+        # frame-cache modality guard)
+        self._needs_flow = bool(getattr(getattr(backbone, "cfg", None),
+                                        "with_flow", False))
+        # feature_dtype defaults to the extraction wire (f16,
+        # make_raw_feature_fn d2h_dtype): temporal params are trained on
+        # f16-rounded stores, so live-streamed features round identically
+        self._feature_dtype = feature_dtype
         # online serving is a B=1 micro-batch per frame: pin a single-device
         # mesh (the data-parallel extraction mesh would require B % n == 0)
         self._feature_fn = make_raw_feature_fn(
             backbone, variables, mesh=make_mesh(1), use_fused=use_fused,
-            d2h_dtype=jnp.float32)
+            d2h_dtype=feature_dtype)
         self.temporal = temporal
         self.refiner = refiner
         self.state = temporal.init_state()
@@ -297,6 +308,12 @@ class OnlineSession:
         """One frame ([H, W, 3] u8, [H, W, 1] u8, [H, W, 2] f16|None) ->
         this frame's logits: refined (when a refiner is attached — the full
         reference pipeline, online) or the temporal model's final stage."""
+        if self._needs_flow and flow_f16 is None:
+            raise ValueError(
+                "backbone was built with with_flow=True: serving without a "
+                "flow frame silently skips the flow cross-attention and "
+                "produces wrong features; pass flow_f16 (precompute with "
+                "models/raft.py) or rebuild the backbone with with_flow=False")
         feat = self._feature_fn(
             img_u8[None], seg_u8[None],
             None if flow_f16 is None else flow_f16[None],

@@ -105,7 +105,11 @@ def make_raw_feature_fn(model, variables, mesh=None, use_fused=None,
     ``d2h_dtype``: wire format of the feature copy-out. float16 (default)
     halves the D2H bytes at exactly the precision the reference computes
     features under (fp16 autocast, generate_evp_LFB.py:441-499); the store
-    still holds float32. Pass jnp.float32 to disable.
+    still holds float32 (of f16-rounded values — stores written before the
+    f16 wire default differ by <= 1 ulp of f16). serving/online.py's
+    OnlineSession uses the SAME default so live-streamed features round
+    identically to the stores the temporal models were trained on. Pass
+    jnp.float32 to disable.
     """
     mesh = mesh if mesh is not None else meshlib.make_mesh()
     if use_fused is None:

@@ -165,8 +165,9 @@ def test_online_session_end_to_end():
     from surgical_tpu.parallel.mesh import make_mesh
     from surgical_tpu.train.extract import make_raw_feature_fn
 
-    feat_fn = make_raw_feature_fn(backbone, variables, mesh=make_mesh(1),
-                                  d2h_dtype=jnp.float32)
+    # default d2h_dtype (f16 wire): the same rounding OnlineSession's
+    # feature leg applies, so parity is exact on production dtypes
+    feat_fn = make_raw_feature_fn(backbone, variables, mesh=make_mesh(1))
     feats = feat_fn(imgs, segs, flows)
     offline = tmodel.apply(tparams, np.asarray(feats, np.float32)[None])[-1, 0]
     np.testing.assert_allclose(online_logits, np.asarray(offline),
@@ -250,8 +251,9 @@ def test_online_session_with_refiner():
     from surgical_tpu.parallel.mesh import make_mesh
     from surgical_tpu.train.extract import make_raw_feature_fn
 
-    feat_fn = make_raw_feature_fn(backbone, variables, mesh=make_mesh(1),
-                                  d2h_dtype=jnp.float32)
+    # default d2h_dtype (f16 wire): the same rounding OnlineSession's
+    # feature leg applies, so parity is exact on production dtypes
+    feat_fn = make_raw_feature_fn(backbone, variables, mesh=make_mesh(1))
     feats = np.asarray(feat_fn(imgs, segs, flows), np.float32)
     g = tmodel.apply(tparams, feats[None])[-1, 0]          # [T, out]
     offline = rmodel.apply(rparams, g, jnp.asarray(feats))  # [T, out]
@@ -378,8 +380,9 @@ def test_online_session_with_mamba():
     ])
     assert online_out.shape == (T, mcfg.out_features)
 
-    feat_fn = make_raw_feature_fn(backbone, variables, mesh=make_mesh(1),
-                                  d2h_dtype=jnp.float32)
+    # default d2h_dtype (f16 wire): the same rounding OnlineSession's
+    # feature leg applies, so parity is exact on production dtypes
+    feat_fn = make_raw_feature_fn(backbone, variables, mesh=make_mesh(1))
     feats = np.asarray(feat_fn(imgs, segs, flows), np.float32)
     offline = mmodel.apply(mparams, feats[None])[0, 0]
     np.testing.assert_allclose(online_out, np.asarray(offline),
