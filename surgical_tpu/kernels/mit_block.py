@@ -74,15 +74,10 @@ def _dwconv3x3(h, w_taps, bias, H, W, N):
 
 
 def _block_kernel(
-    # inputs
-    x_ref, xln_ref, k_ref, v_ref,
-    wq_ref, bq_ref, wo_ref, bo_ref,
-    ln2s_ref, ln2b_ref,
-    w1_ref, b1_ref, wdw_ref, bdw_ref, w2_ref, b2_ref,
-    # output
-    y_ref,
-    *, heads: int, H: int, W: int, bt: int, mlp_chunk: int = 0,
-    ln1_in_kernel: bool = False,
+    *refs,
+    heads: int, H: int, W: int, bt: int, mlp_chunk: int = 0,
+    ln1_in_kernel: bool = False, has_pnext: bool = False,
+    emit_ln: bool = False,
 ):
     """One FLATTENED batch tile per grid step: x/xln arrive [bt*N, C] so the
     projections and the MLP run as single large matmuls (M = bt*N keeps the
@@ -98,7 +93,31 @@ def _block_kernel(
     packed into a [2, C] array instead of a precomputed [bt*N, C] LN1(x):
     recomputing LN1 on-VMEM drops one activation-sized block read per step
     (~30% of the kernel's HBM traffic; the XLA-side xln is still produced
-    once for the k/v spatial-reduction path)."""
+    once for the k/v spatial-reduction path).
+
+    Round-4 prompt/LN folding (the two XLA-side per-block round trips that
+    ARE foldable — the SR/kv chain is not, docs/kernel_notes.md):
+
+    - ``has_pnext``: an extra [bt*N, C] input — the NEXT block's
+      precomputed EVP prompt feature (prompt depends only on the
+      stage-entry base, mix_transformer_evp.py:776-815, so all depths are
+      computable at stage entry) — is added into this block's residual
+      write. Kills the per-block XLA read-modify-write of x.
+    - ``emit_ln``: an extra [2, C] scale/bias input and a second [bt*N, C]
+      output carrying LayerNorm(y) under those params — the NEXT block's
+      LN1 for its SR/kv path (or the stage-final norm). Kills the per-block
+      XLA LN round trip (read y, write xln) for one pipelined block write.
+    """
+    it = iter(refs)
+    (x_ref, xln_ref, k_ref, v_ref,
+     wq_ref, bq_ref, wo_ref, bo_ref,
+     ln2s_ref, ln2b_ref,
+     w1_ref, b1_ref, wdw_ref, bdw_ref, w2_ref, b2_ref) = (next(it) for _ in range(16))
+    pnext_ref = next(it) if has_pnext else None
+    lnn_ref = next(it) if emit_ln else None
+    y_ref = next(it)
+    yln_ref = next(it) if emit_ln else None
+
     N = H * W
     C = x_ref.shape[-1]
     Nkv = k_ref.shape[1] // bt
@@ -182,7 +201,21 @@ def _block_kernel(
                     preferred_element_type=jnp.float32)
             + b2_ref[0][None, :]
         )
-    y_ref[0] = (x.astype(jnp.float32) + mlp_out).astype(y_ref.dtype)
+    y = (x.astype(jnp.float32) + mlp_out).astype(y_ref.dtype)
+    if has_pnext:
+        # bf16 add, same rounding as the XLA `x + prompt` it replaces
+        y = y + pnext_ref[0]
+    y_ref[0] = y
+    if emit_ln:
+        yln_ref[0] = _layernorm(y, lnn_ref[0][None, :], lnn_ref[1][None, :])
+
+
+def _ln_stack(p) -> jax.Array:
+    """Flax LayerNorm params -> the [2, C] f32 scale/bias stack the kernels
+    consume (row 0 = scale, row 1 = bias)."""
+    return jnp.stack(
+        [jnp.asarray(p["scale"]), jnp.asarray(p["bias"])]
+    ).astype(jnp.float32)
 
 
 @functools.partial(
@@ -201,17 +234,25 @@ def fused_mit_block(
     W: int,
     bt: int = 1,
     mlp_chunk: int = 0,
+    pnext: jax.Array | None = None,   # [B, N, C] next block's prompt feature
+    ln_next: dict | None = None,      # next LN params -> also return LN(y)
     interpret: bool = False,
-) -> jax.Array:
+):
     """Fused MiT block. Pass ``xln=None`` (requires ``weights['ln1_scale']``
     / ``['ln1_bias']``) to recompute LN1 inside the kernel — saves one
-    activation-sized HBM read per grid step."""
+    activation-sized HBM read per grid step.
+
+    ``pnext`` folds the next block's prompt feature into the residual write;
+    ``ln_next`` (flax LN param dict) makes the call return ``(y, LN(y))`` —
+    see _block_kernel's round-4 folding notes."""
     B, N, C = x.shape
     Nkv = k.shape[1]
     hidden = weights["w1"].shape[1]
     assert B % bt == 0, (B, bt)
     grid = (B // bt,)
     ln1_in_kernel = xln is None
+    has_pnext = pnext is not None
+    emit_ln = ln_next is not None
 
     # flatten each bt-image tile into one [bt*N, C] row block (an HBM
     # bitcast, free) so the kernel's matmuls see M = bt*N rows
@@ -233,14 +274,14 @@ def fused_mit_block(
                             memory_space=pltpu.VMEM)
 
     row = lambda w: jnp.asarray(w).reshape(1, -1)
-    args = (
+    args = [
         xf, xln_arg, kf, vf,
         weights["wq"], row(weights["bq"]), weights["wo"], row(weights["bo"]),
         row(weights["ln2_scale"]), row(weights["ln2_bias"]),
         weights["w1"], row(weights["b1"]),
         weights["wdw"], row(weights["bdw"]),
         weights["w2"], row(weights["b2"]),
-    )
+    ]
     in_specs = [
         bspec((bt * N, C)),
         bspec((2, C), False) if ln1_in_kernel else bspec((bt * N, C)),
@@ -252,16 +293,30 @@ def fused_mit_block(
         bspec((9, hidden), False), bspec((1, hidden), False),
         bspec((hidden, C), False), bspec((1, C), False),
     ]
+    if has_pnext:
+        args.append(pnext.astype(x.dtype).reshape(B // bt, bt * N, C))
+        in_specs.append(bspec((bt * N, C)))
+    if emit_ln:
+        args.append(_ln_stack(ln_next))
+        in_specs.append(bspec((2, C), False))
+        out_specs = (bspec((bt * N, C)), bspec((bt * N, C)))
+        out_shape = (jax.ShapeDtypeStruct((B // bt, bt * N, C), x.dtype),) * 2
+    else:
+        out_specs = bspec((bt * N, C))
+        out_shape = jax.ShapeDtypeStruct((B // bt, bt * N, C), x.dtype)
 
     out = pl.pallas_call(
         functools.partial(_block_kernel, heads=heads, H=H, W=W, bt=bt,
-                          mlp_chunk=mlp_chunk, ln1_in_kernel=ln1_in_kernel),
+                          mlp_chunk=mlp_chunk, ln1_in_kernel=ln1_in_kernel,
+                          has_pnext=has_pnext, emit_ln=emit_ln),
         grid=grid,
         in_specs=in_specs,
-        out_specs=bspec((bt * N, C)),
-        out_shape=jax.ShapeDtypeStruct((B // bt, bt * N, C), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(*args)
+    if emit_ln:
+        return out[0].reshape(B, N, C), out[1].reshape(B, N, C)
     return out.reshape(B, N, C)
 
 
@@ -278,13 +333,20 @@ def fused_mit_block(
 
 
 def _block_kernel_hb(
-    x_ref, xln_ref, bdk_ref, v_ref, seg_ref, segT_ref,
-    wq_ref, bq_ref, wo_ref, bo_ref,
-    ln2s_ref, ln2b_ref,
-    w1_ref, b1_ref, wdw_ref, bdw_ref, w2_ref, b2_ref,
-    y_ref,
-    *, heads: int, H: int, W: int, bt: int, ln1_in_kernel: bool = False,
+    *refs,
+    heads: int, H: int, W: int, bt: int, ln1_in_kernel: bool = False,
+    has_pnext: bool = False, emit_ln: bool = False,
 ):
+    it = iter(refs)
+    (x_ref, xln_ref, bdk_ref, v_ref, seg_ref, segT_ref,
+     wq_ref, bq_ref, wo_ref, bo_ref,
+     ln2s_ref, ln2b_ref,
+     w1_ref, b1_ref, wdw_ref, bdw_ref, w2_ref, b2_ref) = (next(it) for _ in range(18))
+    pnext_ref = next(it) if has_pnext else None
+    lnn_ref = next(it) if emit_ln else None
+    y_ref = next(it)
+    yln_ref = next(it) if emit_ln else None
+
     N = H * W
     C = x_ref.shape[-1]
     HN = bdk_ref.shape[-1]  # heads * Nkv
@@ -349,7 +411,12 @@ def _block_kernel_hb(
         jnp.dot(h2.astype(x.dtype), w2_ref[:], preferred_element_type=jnp.float32)
         + b2_ref[0][None, :]
     )
-    y_ref[0] = (x.astype(jnp.float32) + mlp_out).astype(y_ref.dtype)
+    y = (x.astype(jnp.float32) + mlp_out).astype(y_ref.dtype)
+    if has_pnext:
+        y = y + pnext_ref[0]
+    y_ref[0] = y
+    if emit_ln:
+        yln_ref[0] = _layernorm(y, lnn_ref[0][None, :], lnn_ref[1][None, :])
 
 
 @functools.partial(
@@ -367,8 +434,10 @@ def fused_mit_block_hb(
     H: int,
     W: int,
     bt: int = 1,
+    pnext: jax.Array | None = None,   # [B, N, C] next block's prompt feature
+    ln_next: dict | None = None,      # next LN params -> also return LN(y)
     interpret: bool = False,
-) -> jax.Array:
+):
     """fused_mit_block with head-batched attention (see _block_kernel_hb).
 
     The block-diagonal k^T / stacked v inflate k/v HBM traffic by ~heads x,
@@ -409,14 +478,14 @@ def fused_mit_block_hb(
 
     bspec = _bspec_maker()
     row = lambda w: jnp.asarray(w).reshape(1, -1)
-    args = (
+    args = [
         xf, xln_arg, bdkf, vf, seg, segT,
         weights["wq"], row(weights["bq"]), weights["wo"], row(weights["bo"]),
         row(weights["ln2_scale"]), row(weights["ln2_bias"]),
         weights["w1"], row(weights["b1"]),
         weights["wdw"], row(weights["bdw"]),
         weights["w2"], row(weights["b2"]),
-    )
+    ]
     in_specs = [
         bspec((bt * N, C)),
         bspec((2, C), False) if ln1_in_kernel else bspec((bt * N, C)),
@@ -429,15 +498,31 @@ def fused_mit_block_hb(
         bspec((9, hidden), False), bspec((1, hidden), False),
         bspec((hidden, C), False), bspec((1, C), False),
     ]
+    has_pnext = pnext is not None
+    emit_ln = ln_next is not None
+    if has_pnext:
+        args.append(pnext.astype(x.dtype).reshape(G, bt * N, C))
+        in_specs.append(bspec((bt * N, C)))
+    if emit_ln:
+        args.append(_ln_stack(ln_next))
+        in_specs.append(bspec((2, C), False))
+        out_specs = (bspec((bt * N, C)), bspec((bt * N, C)))
+        out_shape = (jax.ShapeDtypeStruct((G, bt * N, C), x.dtype),) * 2
+    else:
+        out_specs = bspec((bt * N, C))
+        out_shape = jax.ShapeDtypeStruct((G, bt * N, C), x.dtype)
     out = pl.pallas_call(
         functools.partial(_block_kernel_hb, heads=heads, H=H, W=W, bt=bt,
-                          ln1_in_kernel=ln1_in_kernel),
+                          ln1_in_kernel=ln1_in_kernel,
+                          has_pnext=has_pnext, emit_ln=emit_ln),
         grid=(G,),
         in_specs=in_specs,
-        out_specs=bspec((bt * N, C)),
-        out_shape=jax.ShapeDtypeStruct((G, bt * N, C), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(*args)
+    if emit_ln:
+        return out[0].reshape(B, N, C), out[1].reshape(B, N, C)
     return out.reshape(B, N, C)
 
 

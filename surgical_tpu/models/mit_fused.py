@@ -180,14 +180,40 @@ def fused_forward(
             x = grids[-1]
             continue
 
-        for d in range(cfg.depths[si]):
-            if tuned and base is not None:
-                feat = _dense(base, pg[f"lightweight_mlp{stage}_{d}"])
-                feat = jax.nn.gelu(feat.astype(jnp.float32), approximate=False).astype(dt)
-                x = x + _dense(feat, pg[f"shared_mlp{stage}"])
+        # Round-4 prompt fold (VERDICT r3 item 1): every depth's prompt
+        # feature depends ONLY on the stage-entry base (reference
+        # mix_transformer_evp.py:776-815 — init_prompt runs once per stage),
+        # so all D lightweight_mlp matmuls batch into ONE dot at stage entry
+        # and each block's `x + prompt` folds into the PREVIOUS kernel's
+        # residual write (pnext). Block 0's add stays in XLA.
+        depth = cfg.depths[si]
+        pf = None
+        if tuned and base is not None:
+            C4 = pg[f"lightweight_mlp{stage}_0"]["kernel"].shape[-1]
+            lww = jnp.concatenate(
+                [jnp.asarray(pg[f"lightweight_mlp{stage}_{d}"]["kernel"], dt)
+                 for d in range(depth)], axis=1)              # [Cb, D*C4]
+            lwb = jnp.concatenate(
+                [jnp.asarray(pg[f"lightweight_mlp{stage}_{d}"]["bias"])
+                 for d in range(depth)])                      # [D*C4]
+            feat = _dense(base, {"kernel": lww, "bias": lwb})
+            feat = jax.nn.gelu(feat.astype(jnp.float32),
+                               approximate=False).astype(dt)
+            feat = feat.reshape(B, N, depth, C4)
+            # last-dim dot (not an einsum with batch dims — XLA:CPU's
+            # DotThunk can't run batched bf16xbf16=f32, and the CPU mesh is
+            # the test backend); one [B*N*D, C4] @ [C4, C] matmul
+            pf = jnp.dot(
+                feat, jnp.asarray(pg[f"shared_mlp{stage}"]["kernel"], dt),
+                preferred_element_type=jnp.float32,
+            )
+            pf = (pf + pg[f"shared_mlp{stage}"]["bias"]).astype(dt)
+            pf = jnp.moveaxis(pf, 2, 0)  # [D, B, N, C]
+            x = x + pf[0]
+        xln = _ln(x, params[f"block{stage}_0"]["norm1"])
 
+        for d in range(depth):
             bp = params[f"block{stage}_{d}"]
-            xln = _ln(x, bp["norm1"])
             attn = bp["attn"]
             if cfg.sr_ratios[si] > 1:
                 sr = cfg.sr_ratios[si]
@@ -201,10 +227,20 @@ def fused_forward(
             weights = jax.tree.map(
                 lambda a: jnp.asarray(a, dt), block_weights_from_params(bp)
             )
+            # fold the NEXT block's prompt add into this kernel's residual
+            # write, and emit LN(y) under the next block's norm1 (or the
+            # stage-final norm for the last block) as a second output — the
+            # per-block XLA side shrinks to the dependency-locked SR/kv chain
+            pnext = pf[d + 1] if (pf is not None and d + 1 < depth) else None
+            ln_next = (params[f"block{stage}_{d + 1}"]["norm1"]
+                       if d + 1 < depth else params[f"norm{stage}"])
             if _ROUTE_PACKED2 and C == 64 and cfg.num_heads[si] == 1 and B % 2 == 0:
                 x = fused_mit_block_packed2(
                     x, k, v, pack_weights2(weights), H=H, W=W,
                 )
+                if pnext is not None:
+                    x = x + pnext
+                xln = _ln(x, ln_next)
             else:
                 # per-stage batch tile sized to VMEM: ~0.5 MB of [N, C]
                 # activations per image (x, xln, out blocks are double-
@@ -216,7 +252,7 @@ def fused_forward(
                     bt_fit -= 1
                 # xln=None -> the kernel recomputes LN1 in-VMEM from x,
                 # dropping one activation-sized block read per grid step
-                # (the xln computed above still feeds the SR k/v path)
+                # (the xln it emits feeds the NEXT block's SR k/v path)
                 if heads == 2 and bt_fit * C * heads * Nkv * 4 <= (3 << 19):
                     # head-batched attention: scores + softmax for both heads
                     # from one dot over a head-block-diagonal k^T + segment
@@ -224,17 +260,19 @@ def fused_forward(
                     # at heads>=5 the heads-x FLOP waste of the block-diagonal
                     # scores dot outweighs the batching, so those stages keep
                     # the per-head loop.
-                    x = fused_mit_block_hb(
+                    x, xln = fused_mit_block_hb(
                         x, None, k, v, weights,
                         heads=heads, H=H, W=W, bt=bt_fit,
+                        pnext=pnext, ln_next=ln_next,
                     )
                 else:
-                    x = fused_mit_block(
+                    x, xln = fused_mit_block(
                         x, None, k, v, weights,
                         heads=heads, H=H, W=W, bt=bt_fit,
+                        pnext=pnext, ln_next=ln_next,
                     )
-        x = _ln(x, params[f"norm{stage}"])
-        grids.append(x.reshape(B, H, W, C))
+        # the last kernel's emitted LN is the stage-final norm{stage}
+        grids.append(xln.reshape(B, H, W, C))
         x = grids[-1]
 
     if cfg.with_flow and flow is not None:
