@@ -39,8 +39,22 @@ from surgical_tpu.models.mit_evp import MiTEVP
 from surgical_tpu.models.mit_fused import _conv, _dense, _ln
 
 B = int(os.environ.get("PROF_B", "128"))
-ROUNDS = 4
+ROUNDS = int(os.environ.get("PROF_ROUNDS", "4"))
 LO, HI = 8, 24
+# which stages run the kernel-fold routing in leg (b); default mirrors
+# mit_fused._FOLD_STAGES (empty — the fold measured a loss at every
+# stage). Override to A/B a stage: PROF_FOLD=1,2,3
+_FOLD = tuple(int(s) for s in os.environ.get("PROF_FOLD", "").split(",")
+              if s.strip())
+# which stages batch the D lightweight_mlp prompts into one stage-entry
+# dot; default mirrors mit_fused._BATCH_PROMPT_STAGES (s1 = the measured
+# winner). Override: PROF_BATCH=1,2,3
+_BATCH = tuple(int(s) for s in os.environ.get("PROF_BATCH", "1").split(",")
+               if s.strip())
+# PROF_NO_EMIT=1: fold ONLY the prompt add (pnext_feat, one extra kernel
+# input) and keep LN1 in XLA — isolates the fold's two halves (the full
+# fold's second output store doubles the kernel's store traffic per step)
+_NO_EMIT = os.environ.get("PROF_NO_EMIT", "") == "1"
 
 
 from scripts._timing import chain_time as _chain_time
@@ -88,14 +102,18 @@ def main():
             bt_fit -= 1
 
         def kern(x, kk, vv, d, bt=bt_fit, heads=heads, H=H, W=W, Nkv=Nkv,
-                 pnext=None, ln_next=None):
+                 pnext_feat=None, prompt_shared=None, ln_next=None):
             if heads == 2 and bt * C * heads * Nkv * 4 <= (3 << 19):
                 return fused_mit_block_hb(x, None, kk, vv, bws[d],
                                           heads=heads, H=H, W=W, bt=bt,
-                                          pnext=pnext, ln_next=ln_next)
+                                          pnext_feat=pnext_feat,
+                                          prompt_shared=prompt_shared,
+                                          ln_next=ln_next)
             return fused_mit_block(x, None, kk, vv, bws[d],
                                    heads=heads, H=H, W=W, bt=bt,
-                                   pnext=pnext, ln_next=ln_next)
+                                   pnext_feat=pnext_feat,
+                                   prompt_shared=prompt_shared,
+                                   ln_next=ln_next)
 
         # (a) kernels only, fixed kv
         def blocks_only(x):
@@ -120,35 +138,62 @@ def main():
                 x = x * jnp.asarray(0.6, x.dtype)
             return x
 
-        # (b) AS ROUTED round 4 (mit_fused): batched prompt precompute at
-        # stage entry, pnext folded into the previous kernel's write, LN
-        # emitted by the kernel — XLA side per block = SR conv + kv only
+        # (b) AS ROUTED round 4 (mit_fused._FOLD_STAGES /
+        # _BATCH_PROMPT_STAGES): on batch stages the D prompt MLPs run as
+        # one stage-entry dot; on fold stages the kernel additionally
+        # finishes the NEXT block's shared_mlp from its C4 feat and emits
+        # LN — both A/B-able via PROF_FOLD / PROF_BATCH.
+        fold = stage in _FOLD
+        batch = fold or stage in _BATCH
+
         def full_stage(x):
-            lww = jnp.concatenate(
-                [jnp.asarray(pg[f"lightweight_mlp{stage}_{d}"]["kernel"], x.dtype)
-                 for d in range(depth)], axis=1)
-            lwb = jnp.concatenate(
-                [jnp.asarray(pg[f"lightweight_mlp{stage}_{d}"]["bias"])
-                 for d in range(depth)])
-            feat = _dense(base, {"kernel": lww, "bias": lwb})
-            feat = jax.nn.gelu(feat.astype(jnp.float32), approximate=False).astype(x.dtype)
-            feat = feat.reshape(B, N, depth, C4)
-            pf = jnp.dot(feat, jnp.asarray(pg[f"shared_mlp{stage}"]["kernel"], x.dtype),
-                         preferred_element_type=jnp.float32)
-            pf = (pf + pg[f"shared_mlp{stage}"]["bias"]).astype(x.dtype)
-            pf = jnp.moveaxis(pf, 2, 0)
-            x = x + pf[0]
+            shared = pg[f"shared_mlp{stage}"]
+
+            def prompt_feat(d):
+                f = _dense(base, pg[f"lightweight_mlp{stage}_{d}"])
+                return jax.nn.gelu(f.astype(jnp.float32),
+                                   approximate=False).astype(x.dtype)
+
+            if batch:
+                lww = jnp.concatenate(
+                    [jnp.asarray(pg[f"lightweight_mlp{stage}_{d}"]["kernel"], x.dtype)
+                     for d in range(depth)], axis=1)
+                lwb = jnp.concatenate(
+                    [jnp.asarray(pg[f"lightweight_mlp{stage}_{d}"]["bias"])
+                     for d in range(depth)])
+                feat = _dense(base, {"kernel": lww, "bias": lwb})
+                feat = jax.nn.gelu(feat.astype(jnp.float32),
+                                   approximate=False).astype(x.dtype)
+                feat = feat.reshape(B, N, depth, C4)
+                x = x + _dense(feat[:, :, 0], shared)
+            else:
+                feat = None
+                x = x + _dense(prompt_feat(0), shared)
             xln = _ln(x, bps[0]["norm1"])
             for d in range(depth):
                 bp = bps[d]
+                if d > 0 and not fold:
+                    fd = feat[:, :, d] if batch else prompt_feat(d)
+                    x = x + _dense(fd, shared)
+                    xln = _ln(x, bp["norm1"])
                 red = _conv(xln.reshape(B, H, W, C), bp["attn"]["sr"], sr, "VALID")
                 kv_in = _ln(red.reshape(B, -1, C), bp["attn"]["norm"])
                 kv = _dense(kv_in, bp["attn"]["kv"])
-                pnext = pf[d + 1] if d + 1 < depth else None
-                ln_next = (bps[d + 1]["norm1"] if d + 1 < depth
-                           else bps[0]["norm1"])  # stand-in for norm{stage}
-                x, xln = kern(x, kv[..., :C], kv[..., C:], d,
-                              pnext=pnext, ln_next=ln_next)
+                if fold and _NO_EMIT:
+                    pnext_feat = feat[:, :, d + 1] if d + 1 < depth else None
+                    x = kern(x, kv[..., :C], kv[..., C:], d,
+                             pnext_feat=pnext_feat, prompt_shared=shared)
+                    nrm = bps[d + 1]["norm1"] if d + 1 < depth else bps[0]["norm1"]
+                    xln = _ln(x, nrm)
+                elif fold:
+                    pnext_feat = feat[:, :, d + 1] if d + 1 < depth else None
+                    ln_next = (bps[d + 1]["norm1"] if d + 1 < depth
+                               else bps[0]["norm1"])  # stand-in for norm{stage}
+                    x, xln = kern(x, kv[..., :C], kv[..., C:], d,
+                                  pnext_feat=pnext_feat, prompt_shared=shared,
+                                  ln_next=ln_next)
+                else:
+                    x = kern(x, kv[..., :C], kv[..., C:], d)
                 x = x * jnp.asarray(0.6, x.dtype)
             return x
 

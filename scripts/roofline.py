@@ -128,8 +128,9 @@ def measure_vpu_band():
     v5e VPU = 4 x (8 sublane x 128 lane) f32 ALUs at ~0.94 GHz ~ 3.85 T
     issue-slots/s — the hi probe should land under it."""
     K = 64
-    a = jnp.float32(1.000001)
-    b = jnp.float32(1e-7)
+    # python floats: jnp scalars would be captured consts in the kernel
+    a = 1.000001
+    b = 1e-7
 
     def serial_fma(xs):
         (x,) = xs
@@ -230,23 +231,37 @@ def stage_counts(cfg, si):
 
     # ---- HBM bytes per image per block (bf16 = 2 B/elt)
     act = N * C * 2
+    feat_act = N * C4 * 2
+    from surgical_tpu.models.mit_fused import _FOLD_STAGES
+    folded = (si + 1) in _FOLD_STAGES
     if fused_stage:
         # whole-stage kernel: x in + out once PER STAGE (charged per block as
         # 2act/depth), base once; weights streamed per grid step per block
         hbm_per_img_blk = 2 * act / depth + (N * C4 * 2 / depth if tuned else 0)
-    else:
-        # round-4 folded routing (mit_fused.fused_forward): the kernel reads
-        # x + the precomputed next-block prompt (pnext) and writes y + LN(y)
-        # for the next block's kv path; XLA keeps only the SR conv + kv
-        # projection per block, and the prompt MLPs run ONCE per stage
-        # (batched) writing depth prompt features
+    elif folded:
+        # round-4 folded routing (mit_fused._FOLD_STAGES): the kernel reads
+        # x + the next block's C4 prompt feat (finishing the shared_mlp
+        # in-kernel) and writes y + LN(y) for the next kv path; XLA keeps
+        # only the SR conv + kv projection per block, and the lightweight
+        # MLPs run ONCE per stage (batched) writing depth C4 features
         hbm_per_img_blk = (
-            2 * act                      # kernel: x in, y out
-            + act                        # kernel: LN(y) out (next kv path)
-            + (act if tuned else 0)      # kernel: pnext in
-            + (act if tuned else 0)      # XLA batched prompt write (1/blk)
-            + (act if sr > 1 else 0)     # SR conv reads the emitted LN
+            2 * act                          # kernel: x in, y out
+            + act                            # kernel: LN(y) out (next kv path)
+            + (2 * feat_act if tuned else 0)  # C4 feat write (XLA) + read (kernel)
+            + (act if sr > 1 else 0)         # SR conv reads the emitted LN
+            + 2 * Nkv * C * 2                # k, v into kernel
+        )
+    else:
+        # default routing (kernel fold measured a loss at every stage):
+        # XLA prompt add + LN1 per block; the batched stage-entry
+        # precompute (_BATCH_PROMPT_STAGES) moves the feat write earlier
+        # but the per-block bytes are the same
+        hbm_per_img_blk = (
+            2 * act                      # kernel: x in, out
+            + 2 * act                    # XLA LN1: read x, write xln (kv path)
+            + (act if sr > 1 else 0)     # SR conv reads xln
             + 2 * Nkv * C * 2            # k, v into kernel
+            + (2 * act + 2 * feat_act if tuned else 0)  # prompt RMW x + feat
         )
 
     # weight bytes: constant-index blocks are DMA'd once per pallas_call
@@ -306,7 +321,8 @@ def main():
 
     rng = np.random.default_rng(0)
     stages = []
-    total_floor = 0.0
+    total_floor_lo = total_floor_hi = 0.0
+    total_mxu_flops = 0.0
     total_meas = 0.0
     warnings = []
     for si in range(4):
@@ -326,21 +342,32 @@ def main():
         bw = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16),
                           block_weights_from_params(params[f"block{stage}_0"]))
 
-        # mirror the ROUTED kernels incl. the round-4 fold: pnext folded
-        # into the residual write, LN(y) emitted for the next kv path, and
-        # the hb variant where fused_forward routes to it (heads == 2)
+        # mirror the ROUTED kernels incl. the round-4 fold (s1/s2 only —
+        # mit_fused._FOLD_STAGES): the next prompt's C4 feat + shared_mlp
+        # folded into the residual write, LN(y) emitted for the next kv
+        # path, and the hb variant where fused_forward routes to it
         from surgical_tpu.kernels.mit_block import fused_mit_block_hb
+        from surgical_tpu.models.mit_fused import _FOLD_STAGES
+        C4 = C // cfg.prompt_scale_factor
         ln_next = {"scale": jnp.ones((C,), jnp.float32),
                    "bias": jnp.zeros((C,), jnp.float32)}
-        pn = jax.device_put(jnp.zeros((B, N, C), jnp.bfloat16))
+        shared = {"kernel": jnp.zeros((C4, C), jnp.bfloat16),
+                  "bias": jnp.zeros((C,), jnp.float32)}
+        pn = jax.device_put(jnp.zeros((B, N, C4), jnp.bfloat16))
         use_hb = heads == 2 and bt * C * heads * Nkv * 4 <= (3 << 19)
 
+        fold = stage in _FOLD_STAGES
+
         def block_fn(x, kv=kv, bw=bw, heads=heads, H=H, W_=W_, bt=bt,
-                     depth=depth, use_hb=use_hb):
+                     depth=depth, use_hb=use_hb, fold=fold):
             fn = fused_mit_block_hb if use_hb else fused_mit_block
             for _ in range(depth):
-                x, _xln = fn(x, None, kv, kv, bw, heads=heads, H=H,
-                             W=W_, bt=bt, pnext=pn, ln_next=ln_next)
+                if fold:
+                    x, _xln = fn(x, None, kv, kv, bw, heads=heads, H=H,
+                                 W=W_, bt=bt, pnext_feat=pn,
+                                 prompt_shared=shared, ln_next=ln_next)
+                else:
+                    x = fn(x, None, kv, kv, bw, heads=heads, H=H, W=W_, bt=bt)
                 x = x * jnp.asarray(0.6, x.dtype)  # keep magnitudes bounded
             return x
 
@@ -376,9 +403,9 @@ def main():
                          round(meas_ms / floor_lo, 2)],
         }
         stages.append(row)
-        total_floor_lo = total_floor_lo + floor_lo if si else floor_lo
-        total_floor_hi = total_floor_hi + floor_hi if si else floor_hi
-        total_mxu_flops = (total_mxu_flops + cts["mxu_flops"]) if si else cts["mxu_flops"]
+        total_floor_lo += floor_lo
+        total_floor_hi += floor_hi
+        total_mxu_flops += cts["mxu_flops"]
         total_meas += meas_ms
         print(f"s{stage}", row, flush=True)
 
@@ -416,16 +443,29 @@ def main():
 
     nonstage_ms = full_ms - total_meas
     report["stages"] = stages
-    report["stage_floor_ms"] = round(total_floor, 2)
+    report["stage_floor_ms_band"] = [round(total_floor_lo, 2),
+                                     round(total_floor_hi, 2)]
     report["stage_measured_ms"] = round(total_meas, 2)
     report["full_forward_ms"] = round(full_ms, 2)
     report["nonstage_ms"] = round(nonstage_ms, 2)
     report["measured_fps"] = round(B / (full_ms / 1e3), 1)
-    # ceiling: stages at their floors + non-stage as measured (<10%, mostly
-    # conv/head MXU work)
-    ceiling_ms = total_floor + max(nonstage_ms, 0.0)
-    report["ceiling_fps"] = round(B / (ceiling_ms / 1e3), 1)
-    report["ceiling_vs_baseline"] = round(report["ceiling_fps"] / 990.0, 2)
+    # ceiling BAND: stages at their floor band + non-stage as measured
+    # (the non-stage remainder is held at today's implementation — the
+    # band prices kernel headroom, not a rewrite of embeds/flow/head)
+    ns = max(nonstage_ms, 0.0)
+    report["ceiling_fps_band"] = [
+        round(B / ((total_floor_hi + ns) / 1e3), 1),
+        round(B / ((total_floor_lo + ns) / 1e3), 1),
+    ]
+    report["ceiling_vs_baseline_band"] = [
+        round(f / 990.0, 2) for f in report["ceiling_fps_band"]]
+    # MFU: matmul FLOPs per frame on the routed path (stage matmuls; the
+    # non-stage patch-embed convs/head add <1 GF) against the v5e 197-TFLOP
+    # bf16 peak at the measured rate
+    gf_frame = total_mxu_flops / B / 1e9
+    report["matmul_gflops_per_frame"] = round(gf_frame, 2)
+    report["mfu_pct"] = round(
+        gf_frame * 1e9 * report["measured_fps"] / 197e12 * 100, 1)
     report["warnings"] = warnings
 
     print(json.dumps(report))
@@ -442,23 +482,28 @@ def main():
 
 def write_md(r, cfg):
     rows = "\n".join(
-        "| s{stage}{f} ({depth}×[{B},{N},{C}] h={h} bt={bt}) | {mxu} | {vpu} | {hbm} | "
-        "{floor} ({bound}) | {meas} | {gap}× |".format(
+        "| s{stage}{f} ({depth}×[{B},{N},{C}] h={h} bt={bt}) | {mxu} | {vl}-{vh} | {hbm} | "
+        "{fl}-{fh} ({bound}) | {meas} | {gl}-{gh}× |".format(
             stage=s["stage"], f="*" if s["fused_stage"] else "",
             depth=s["depth"], B=r["B"], N=s["N"], C=s["C"], h=s["heads"],
-            bt=s["bt"], mxu=s["mxu_ms"], vpu=s["vpu_ms"], hbm=s["hbm_ms"],
-            floor=s["floor_ms"], bound=s["bound"], meas=s["measured_ms"],
-            gap=s["gap"])
+            bt=s["bt"], mxu=s["mxu_ms"],
+            vl=s["vpu_ms_band"][0], vh=s["vpu_ms_band"][1], hbm=s["hbm_ms"],
+            fl=s["floor_ms_band"][0], fh=s["floor_ms_band"][1],
+            bound=s["bound"], meas=s["measured_ms"],
+            gl=s["gap_band"][0], gh=s["gap_band"][1])
         for s in r["stages"]
     )
     dma_rows = "\n".join(
         f"| s{s['stage']} block [{s['bt']}·{s['N']}, {s['C']}] bf16 | "
         f"{s['block_dma_gbps']} | {s['hbm_at_block_rate_ms']} |"
         for s in r["stages"])
-    gaps = sorted(r["stages"], key=lambda s: s["floor_ms"] - s["measured_ms"])
+    gaps = sorted(r["stages"],
+                  key=lambda s: s["floor_ms_band"][0] - s["measured_ms"])
     gap_lines = "\n".join(
-        "- s%d: %.2f ms above its %.2f ms floor (%s-bound)"
-        % (s["stage"], s["measured_ms"] - s["floor_ms"], s["floor_ms"], s["bound"])
+        "- s%d: %.2f-%.2f ms above its %.2f-%.2f ms floor band (%s-bound)"
+        % (s["stage"], s["measured_ms"] - s["floor_ms_band"][1],
+           s["measured_ms"] - s["floor_ms_band"][0],
+           s["floor_ms_band"][0], s["floor_ms_band"][1], s["bound"])
         for s in gaps)
     md = f"""# Serving-graph roofline (MiT-B3 EVP extraction, B={r['B']})
 
@@ -481,7 +526,7 @@ measured time (floor > measured means the accounting is broken).
 | resource | measured | probe |
 |---|---|---|
 | MXU bf16 | **{r['mxu_tflops']} TFLOPs** | chained 4096³ matmul (v5e peak ≈ 197) |
-| VPU f32 | **{r['vpu_tops']} T-ops/s** | VMEM-resident fma chain, 3 ops/elt-step (lower bound) |
+| VPU f32 | **{r['vpu_tops_band'][0]}-{r['vpu_tops_band'][1]} T-ops/s band** | lo = serial fma chain (latency-bound, 3 ops/elt-step); hi = best independent-chain ILP mix (arch cross-check: 4×(8×128) ALUs @ ~0.94 GHz ≈ 3.85 T issue-slots/s) |
 | HBM stream | **{r['hbm_gbps']} GB/s** | XLA add over 1 GB (v5e peak ≈ 819) |
 
 Pallas block-DMA rate at each stage's block shape — what the kernels
@@ -495,30 +540,41 @@ the big-array rate, so each stage's HBM time is bracketed by
 
 ## Per-stage floors vs measured (ms per forward, B={r['B']})
 
-floor = max(MXU, VPU, HBM-at-stream-rate) — a TRUE lower bound (optimistic
-on HBM). measured = the real per-stage block loop, overhead-cancelled.
+floor band = max(MXU, VPU-band, HBM-at-stream-rate) — the LOW edge (VPU at
+its ILP-probe rate) is the true lower bound; the HIGH edge prices VPU work
+at the serial-chain rate. measured = the real per-stage block loop on the
+ROUTED kernels (round-4 folded: pnext + emitted LN), overhead-cancelled.
 `*` = whole-stage fused kernel routing.
 
-| stage | MXU ms | VPU ms | HBM ms | floor (bound) | measured | gap |
+| stage | MXU ms | VPU ms band | HBM ms | floor band (bound) | measured | gap band |
 |---|---|---|---|---|---|---|
 {rows}
 
-- stage floor sum: **{r['stage_floor_ms']} ms**; measured: **{r['stage_measured_ms']} ms**
+- stage floor-band sum: **{r['stage_floor_ms_band'][0]}-{r['stage_floor_ms_band'][1]} ms**; measured: **{r['stage_measured_ms']} ms**
 - whole forward measured: **{r['full_forward_ms']} ms** → **{r['measured_fps']} fps/chip**
-- non-stage remainder: **{r['nonstage_ms']} ms** — patch embeds, prompt
-  cascade, flow fusion, head, PLUS the per-block XLA-side ops the stage
-  loops exclude (LN1 for the k/v path, SR conv, kv projection, prompt
-  MLP adds). The XLA-side per-block traffic is the largest attackable
-  slice of it (~5 activation round-trips per block).
+- non-stage remainder: **{r['nonstage_ms']} ms** — patch embeds, batched
+  prompt precompute, flow fusion, head, plus the per-block XLA-side ops the
+  stage loops exclude — after the round-4 fold, only the SR conv + kv
+  projection per block (the genuinely pre-kernel chain).
+- MFU: **{r['matmul_gflops_per_frame']} matmul GFLOPs/frame → {r['mfu_pct']}%
+  of the 197-TFLOP bf16 peak** at the measured rate. Low in absolute terms
+  and architecture-intrinsic: the binding resource at every stage is the
+  VPU (dwconv+GELU Mix-FFN at C=64-320), not the MXU.
 
-## Implied ceiling
+## Implied ceiling (band)
 
-Stages at their optimistic floors + non-stage as measured:
-**{r['ceiling_fps']} fps/chip = {r['ceiling_vs_baseline']}× the 990-fps GPU baseline.**
+Stages at their floor band + non-stage as measured:
+**{r['ceiling_fps_band'][0]}-{r['ceiling_fps_band'][1]} fps/chip =
+{r['ceiling_vs_baseline_band'][0]}-{r['ceiling_vs_baseline_band'][1]}× the
+990-fps GPU baseline.** The low edge prices VPU work at the serial-probe
+rate (conservative); the high edge at the ILP-probe rate — a true
+scheduling-unreachable bound that also holds the {r['nonstage_ms']} ms
+non-stage remainder at today's implementation.
 
-That ceiling is NOT reachable by scheduling alone — it prices every matmul
-at full-MXU rate and every byte at the big-array stream rate. The measured
-structural penalties that sit between the measured times and these floors:
+Neither edge is reachable by scheduling alone — the band prices every
+matmul at full-MXU rate and every byte at the big-array stream rate. The
+measured structural penalties that sit between the measured times and
+these floors:
 
 1. **Lane occupancy at C=64/128** (s1, s2): the VPU and MXU operate on
    128-wide lanes; C=64 stages run them at ~half effective rate. The
@@ -541,16 +597,19 @@ Ranked by measured − floor:
 {gap_lines}
 
 With every structural penalty above already attacked and measured
-(packed2, head-batching, stage fusion, tile sweeps — kernel_notes), the
-demonstrated single-chip rate is **{r['measured_fps']} fps ≈
-{round(r['measured_fps']/990, 2)}× the GPU baseline**. Closing the remaining
-gap to the optimistic {r['ceiling_fps']}-fps ceiling would need the VPU/DMA
-penalties to vanish simultaneously — i.e., a different model layout
-(C≥128 everywhere, fused erf-free activations, int8) — which breaks
-reference parity. The ≥5× north star (~5,000 fps) is therefore a
-**multi-chip** target: extraction is embarrassingly data-parallel and
+(packed2, head-batching, stage fusion, tile sweeps, the round-4 prompt/LN
+fold — kernel_notes), the demonstrated single-chip rate is
+**{r['measured_fps']} fps ≈ {round(r['measured_fps']/990, 2)}× the GPU
+baseline**. Reaching even the band's low edge
+({r['ceiling_fps_band'][0]} fps) needs every stage simultaneously at its
+VPU floor with zero DMA penalty; the high edge additionally requires the
+serial-latency share of the VPU work to vanish. Beyond the band means a
+different model (C≥128 everywhere, erf-free activations, int8) — which
+breaks reference parity (measured: docs/kernel_notes.md int8 section).
+The ≥5× north star (~5,000 fps) sits above the band's HIGH edge, so it is
+a **multi-chip** target: extraction is embarrassingly data-parallel and
 `cli extract-features` shards the batch axis over `jax.sharding.Mesh`
-(two chips at the measured rate clear it).
+(see README's multi-chip throughput model).
 """
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "docs", "roofline.md")

@@ -98,11 +98,16 @@ def _block_kernel(
     Round-4 prompt/LN folding (the two XLA-side per-block round trips that
     ARE foldable — the SR/kv chain is not, docs/kernel_notes.md):
 
-    - ``has_pnext``: an extra [bt*N, C] input — the NEXT block's
-      precomputed EVP prompt feature (prompt depends only on the
-      stage-entry base, mix_transformer_evp.py:776-815, so all depths are
-      computable at stage entry) — is added into this block's residual
-      write. Kills the per-block XLA read-modify-write of x.
+    - ``has_pnext``: three extra inputs — the NEXT block's GELU'd
+      lightweight-MLP feature [bt*N, C4] (C4 = C/prompt_scale, ~C/4) plus
+      the stage's shared_mlp kernel [C4, C] and bias [1, C]. The prompt
+      depends only on the stage-entry base (mix_transformer_evp.py:776-815:
+      init_prompt runs once per stage), so all depths' features are
+      computable at stage entry; the kernel finishes the shared_mlp matmul
+      and adds it into this block's residual write. Kills the per-block XLA
+      read-modify-write of x at 1/4 the activation traffic a full-C prompt
+      input would cost (the full-C variant measured ~0 gain and VMEM-OOMs
+      at s3 — probe_nonstage, round 4).
     - ``emit_ln``: an extra [2, C] scale/bias input and a second [bt*N, C]
       output carrying LayerNorm(y) under those params — the NEXT block's
       LN1 for its SR/kv path (or the stage-final norm). Kills the per-block
@@ -113,7 +118,9 @@ def _block_kernel(
      wq_ref, bq_ref, wo_ref, bo_ref,
      ln2s_ref, ln2b_ref,
      w1_ref, b1_ref, wdw_ref, bdw_ref, w2_ref, b2_ref) = (next(it) for _ in range(16))
-    pnext_ref = next(it) if has_pnext else None
+    pfeat_ref = next(it) if has_pnext else None
+    pshw_ref = next(it) if has_pnext else None
+    pshb_ref = next(it) if has_pnext else None
     lnn_ref = next(it) if emit_ln else None
     y_ref = next(it)
     yln_ref = next(it) if emit_ln else None
@@ -203,8 +210,12 @@ def _block_kernel(
         )
     y = (x.astype(jnp.float32) + mlp_out).astype(y_ref.dtype)
     if has_pnext:
-        # bf16 add, same rounding as the XLA `x + prompt` it replaces
-        y = y + pnext_ref[0]
+        # finish the shared_mlp: same op order/rounding as the XLA
+        # `x + _dense(feat, shared)` it replaces (f32 dot, bf16 add)
+        pf = (jnp.dot(pfeat_ref[0], pshw_ref[:],
+                      preferred_element_type=jnp.float32)
+              + pshb_ref[0][None, :]).astype(y.dtype)
+        y = y + pf
     y_ref[0] = y
     if emit_ln:
         yln_ref[0] = _layernorm(y, lnn_ref[0][None, :], lnn_ref[1][None, :])
@@ -234,24 +245,26 @@ def fused_mit_block(
     W: int,
     bt: int = 1,
     mlp_chunk: int = 0,
-    pnext: jax.Array | None = None,   # [B, N, C] next block's prompt feature
-    ln_next: dict | None = None,      # next LN params -> also return LN(y)
+    pnext_feat: jax.Array | None = None,  # [B, N, C4] next block's GELU'd feat
+    prompt_shared: dict | None = None,    # shared_mlp {kernel [C4,C], bias}
+    ln_next: dict | None = None,          # next LN params -> also return LN(y)
     interpret: bool = False,
 ):
     """Fused MiT block. Pass ``xln=None`` (requires ``weights['ln1_scale']``
     / ``['ln1_bias']``) to recompute LN1 inside the kernel — saves one
     activation-sized HBM read per grid step.
 
-    ``pnext`` folds the next block's prompt feature into the residual write;
-    ``ln_next`` (flax LN param dict) makes the call return ``(y, LN(y))`` —
-    see _block_kernel's round-4 folding notes."""
+    ``pnext_feat`` + ``prompt_shared`` fold the next block's prompt
+    (shared_mlp matmul + add) into the residual write; ``ln_next`` (flax LN
+    param dict) makes the call return ``(y, LN(y))`` — see _block_kernel's
+    round-4 folding notes."""
     B, N, C = x.shape
     Nkv = k.shape[1]
     hidden = weights["w1"].shape[1]
     assert B % bt == 0, (B, bt)
     grid = (B // bt,)
     ln1_in_kernel = xln is None
-    has_pnext = pnext is not None
+    has_pnext = pnext_feat is not None
     emit_ln = ln_next is not None
 
     # flatten each bt-image tile into one [bt*N, C] row block (an HBM
@@ -294,8 +307,13 @@ def fused_mit_block(
         bspec((hidden, C), False), bspec((1, C), False),
     ]
     if has_pnext:
-        args.append(pnext.astype(x.dtype).reshape(B // bt, bt * N, C))
-        in_specs.append(bspec((bt * N, C)))
+        C4 = pnext_feat.shape[-1]
+        args += [pnext_feat.astype(x.dtype).reshape(B // bt, bt * N, C4),
+                 jnp.asarray(prompt_shared["kernel"], x.dtype),
+                 jnp.asarray(prompt_shared["bias"],
+                             jnp.float32).reshape(1, C)]
+        in_specs += [bspec((bt * N, C4)),
+                     bspec((C4, C), False), bspec((1, C), False)]
     if emit_ln:
         args.append(_ln_stack(ln_next))
         in_specs.append(bspec((2, C), False))
@@ -342,7 +360,9 @@ def _block_kernel_hb(
      wq_ref, bq_ref, wo_ref, bo_ref,
      ln2s_ref, ln2b_ref,
      w1_ref, b1_ref, wdw_ref, bdw_ref, w2_ref, b2_ref) = (next(it) for _ in range(18))
-    pnext_ref = next(it) if has_pnext else None
+    pfeat_ref = next(it) if has_pnext else None
+    pshw_ref = next(it) if has_pnext else None
+    pshb_ref = next(it) if has_pnext else None
     lnn_ref = next(it) if emit_ln else None
     y_ref = next(it)
     yln_ref = next(it) if emit_ln else None
@@ -413,7 +433,10 @@ def _block_kernel_hb(
     )
     y = (x.astype(jnp.float32) + mlp_out).astype(y_ref.dtype)
     if has_pnext:
-        y = y + pnext_ref[0]
+        pf = (jnp.dot(pfeat_ref[0], pshw_ref[:],
+                      preferred_element_type=jnp.float32)
+              + pshb_ref[0][None, :]).astype(y.dtype)
+        y = y + pf
     y_ref[0] = y
     if emit_ln:
         yln_ref[0] = _layernorm(y, lnn_ref[0][None, :], lnn_ref[1][None, :])
@@ -434,8 +457,9 @@ def fused_mit_block_hb(
     H: int,
     W: int,
     bt: int = 1,
-    pnext: jax.Array | None = None,   # [B, N, C] next block's prompt feature
-    ln_next: dict | None = None,      # next LN params -> also return LN(y)
+    pnext_feat: jax.Array | None = None,  # [B, N, C4] next block's GELU'd feat
+    prompt_shared: dict | None = None,    # shared_mlp {kernel [C4,C], bias}
+    ln_next: dict | None = None,          # next LN params -> also return LN(y)
     interpret: bool = False,
 ):
     """fused_mit_block with head-batched attention (see _block_kernel_hb).
@@ -498,11 +522,16 @@ def fused_mit_block_hb(
         bspec((9, hidden), False), bspec((1, hidden), False),
         bspec((hidden, C), False), bspec((1, C), False),
     ]
-    has_pnext = pnext is not None
+    has_pnext = pnext_feat is not None
     emit_ln = ln_next is not None
     if has_pnext:
-        args.append(pnext.astype(x.dtype).reshape(G, bt * N, C))
-        in_specs.append(bspec((bt * N, C)))
+        C4 = pnext_feat.shape[-1]
+        args += [pnext_feat.astype(x.dtype).reshape(G, bt * N, C4),
+                 jnp.asarray(prompt_shared["kernel"], x.dtype),
+                 jnp.asarray(prompt_shared["bias"],
+                             jnp.float32).reshape(1, C)]
+        in_specs += [bspec((bt * N, C4)),
+                     bspec((C4, C), False), bspec((1, C), False)]
     if emit_ln:
         args.append(_ln_stack(ln_next))
         in_specs.append(bspec((2, C), False))

@@ -47,6 +47,28 @@ _FUSE_STAGES: tuple = (4,)
 _FUSE_BT = {2: 2, 3: 4, 4: 8}
 _FUSE_PHASES = {2: 2, 3: 2, 4: 1}
 
+# Round-4 prompt/LN fold routing: stages whose per-block kernels absorb the
+# next block's prompt add (C4 feat + in-kernel shared_mlp) and emit LN(y)
+# for the next kv path. MEASURED A LOSS AT EVERY STAGE (probe_nonstage
+# round 4: s1 -2.2 ms, s2 -0.2, s3 -0.3 vs the round-3 routing — the
+# kernel's second activation-sized store (LN(y)) plus the per-grid-step
+# feat input outweigh the XLA round-trip they replace), so no stage routes
+# here by default; the mechanism stays tested + A/B-able (PROF_FOLD).
+# Stage 3 additionally OOMs the 16 MB scoped-VMEM limit with a full-C
+# pnext (18.3M at bt=4); stage 4 routes to the whole-stage kernel which
+# already does in-kernel prompt adds.
+_FOLD_STAGES: tuple = ()
+
+# Stages whose D per-block lightweight_mlp prompts are batched into ONE
+# stage-entry dot (pure-XLA restructure, no kernel change; legal because
+# every depth's prompt depends only on the stage-entry base —
+# mix_transformer_evp.py:776-815). Measured (probe_nonstage round 4,
+# fold_probe3): WINS +0.85 ms at s1 (depth 3, N=3136 — fewer fusion
+# boundaries on the biggest activations), ~wash at s2 (-0.17), LOSES
+# -1.1 ms at s3 (depth 18: the [B,N,18,C4] feat block round-trips HBM
+# where the per-block MLP fuses into the add). Only s1 routes here.
+_BATCH_PROMPT_STAGES: tuple = (1,)
+
 # 2-images-per-lane-row packed kernel for C=64 stages: measured ~3-5% faster
 # than the loop kernel but sits AT the 16 MB scoped-VMEM limit at N=3136 and
 # flips OOM with compile-to-compile variance (docs/kernel_notes.md packed2
@@ -180,40 +202,53 @@ def fused_forward(
             x = grids[-1]
             continue
 
-        # Round-4 prompt fold (VERDICT r3 item 1): every depth's prompt
-        # feature depends ONLY on the stage-entry base (reference
-        # mix_transformer_evp.py:776-815 — init_prompt runs once per stage),
-        # so all D lightweight_mlp matmuls batch into ONE dot at stage entry
-        # and each block's `x + prompt` folds into the PREVIOUS kernel's
-        # residual write (pnext). Block 0's add stays in XLA.
+        # Round-4 prompt restructure (VERDICT r3 item 1): every depth's
+        # prompt feature depends ONLY on the stage-entry base (reference
+        # mix_transformer_evp.py:776-815 — init_prompt runs once per
+        # stage), so all D lightweight_mlp matmuls CAN batch into one
+        # stage-entry dot (_BATCH_PROMPT_STAGES — measured winner at s1
+        # only) and each block's `x + shared_mlp(feat)` CAN fold into the
+        # previous kernel's residual write (_FOLD_STAGES — measured loss
+        # everywhere; kept A/B-able). Default routing: s1 batches the
+        # precompute, every stage keeps the prompt add + LN1 in XLA.
         depth = cfg.depths[si]
-        pf = None
-        if tuned and base is not None:
-            C4 = pg[f"lightweight_mlp{stage}_0"]["kernel"].shape[-1]
-            lww = jnp.concatenate(
-                [jnp.asarray(pg[f"lightweight_mlp{stage}_{d}"]["kernel"], dt)
-                 for d in range(depth)], axis=1)              # [Cb, D*C4]
-            lwb = jnp.concatenate(
-                [jnp.asarray(pg[f"lightweight_mlp{stage}_{d}"]["bias"])
-                 for d in range(depth)])                      # [D*C4]
-            feat = _dense(base, {"kernel": lww, "bias": lwb})
-            feat = jax.nn.gelu(feat.astype(jnp.float32),
+        fold = stage in _FOLD_STAGES
+        batch_prompt = fold or stage in _BATCH_PROMPT_STAGES
+        feat = None  # [B, N, depth, C4] when batch_prompt, else per-block
+        shared = None
+
+        def _prompt_feat(d):
+            f = _dense(base, pg[f"lightweight_mlp{stage}_{d}"])
+            return jax.nn.gelu(f.astype(jnp.float32),
                                approximate=False).astype(dt)
-            feat = feat.reshape(B, N, depth, C4)
-            # last-dim dot (not an einsum with batch dims — XLA:CPU's
-            # DotThunk can't run batched bf16xbf16=f32, and the CPU mesh is
-            # the test backend); one [B*N*D, C4] @ [C4, C] matmul
-            pf = jnp.dot(
-                feat, jnp.asarray(pg[f"shared_mlp{stage}"]["kernel"], dt),
-                preferred_element_type=jnp.float32,
-            )
-            pf = (pf + pg[f"shared_mlp{stage}"]["bias"]).astype(dt)
-            pf = jnp.moveaxis(pf, 2, 0)  # [D, B, N, C]
-            x = x + pf[0]
+
+        if tuned and base is not None:
+            shared = pg[f"shared_mlp{stage}"]
+            if batch_prompt:
+                C4 = pg[f"lightweight_mlp{stage}_0"]["kernel"].shape[-1]
+                lww = jnp.concatenate(
+                    [jnp.asarray(pg[f"lightweight_mlp{stage}_{d}"]["kernel"], dt)
+                     for d in range(depth)], axis=1)          # [Cb, D*C4]
+                lwb = jnp.concatenate(
+                    [jnp.asarray(pg[f"lightweight_mlp{stage}_{d}"]["bias"])
+                     for d in range(depth)])                  # [D*C4]
+                feat = _dense(base, {"kernel": lww, "bias": lwb})
+                feat = jax.nn.gelu(feat.astype(jnp.float32),
+                                   approximate=False).astype(dt)
+                feat = feat.reshape(B, N, depth, C4)
+                x = x + _dense(feat[:, :, 0], shared)
+            else:
+                x = x + _dense(_prompt_feat(0), shared)
         xln = _ln(x, params[f"block{stage}_0"]["norm1"])
 
         for d in range(depth):
             bp = params[f"block{stage}_{d}"]
+            if d > 0 and not fold:
+                # per-block prompt add + LN in XLA (the round-3 routing)
+                if shared is not None:
+                    fd = feat[:, :, d] if batch_prompt else _prompt_feat(d)
+                    x = x + _dense(fd, shared)
+                xln = _ln(x, bp["norm1"])
             attn = bp["attn"]
             if cfg.sr_ratios[si] > 1:
                 sr = cfg.sr_ratios[si]
@@ -227,20 +262,25 @@ def fused_forward(
             weights = jax.tree.map(
                 lambda a: jnp.asarray(a, dt), block_weights_from_params(bp)
             )
-            # fold the NEXT block's prompt add into this kernel's residual
-            # write, and emit LN(y) under the next block's norm1 (or the
-            # stage-final norm for the last block) as a second output — the
-            # per-block XLA side shrinks to the dependency-locked SR/kv chain
-            pnext = pf[d + 1] if (pf is not None and d + 1 < depth) else None
+            # fold stages: the NEXT block's prompt (C4 feat + shared matmul)
+            # folds into this kernel's residual write, and the kernel emits
+            # LN(y) under the next block's norm1 (or the stage-final norm
+            # for the last block) — the per-block XLA side shrinks to the
+            # dependency-locked SR/kv chain
+            pnext_feat = (feat[:, :, d + 1]
+                          if fold and feat is not None and d + 1 < depth
+                          else None)
             ln_next = (params[f"block{stage}_{d + 1}"]["norm1"]
-                       if d + 1 < depth else params[f"norm{stage}"])
+                       if d + 1 < depth else params[f"norm{stage}"]) \
+                if fold else None
             if _ROUTE_PACKED2 and C == 64 and cfg.num_heads[si] == 1 and B % 2 == 0:
                 x = fused_mit_block_packed2(
                     x, k, v, pack_weights2(weights), H=H, W=W,
                 )
-                if pnext is not None:
-                    x = x + pnext
-                xln = _ln(x, ln_next)
+                if pnext_feat is not None:
+                    x = x + _dense(pnext_feat, shared)
+                if fold:
+                    xln = _ln(x, ln_next)
             else:
                 # per-stage batch tile sized to VMEM: ~0.5 MB of [N, C]
                 # activations per image (x, xln, out blocks are double-
@@ -260,19 +300,26 @@ def fused_forward(
                     # at heads>=5 the heads-x FLOP waste of the block-diagonal
                     # scores dot outweighs the batching, so those stages keep
                     # the per-head loop.
-                    x, xln = fused_mit_block_hb(
+                    out = fused_mit_block_hb(
                         x, None, k, v, weights,
                         heads=heads, H=H, W=W, bt=bt_fit,
-                        pnext=pnext, ln_next=ln_next,
+                        pnext_feat=pnext_feat, prompt_shared=shared,
+                        ln_next=ln_next,
                     )
                 else:
-                    x, xln = fused_mit_block(
+                    out = fused_mit_block(
                         x, None, k, v, weights,
                         heads=heads, H=H, W=W, bt=bt_fit,
-                        pnext=pnext, ln_next=ln_next,
+                        pnext_feat=pnext_feat, prompt_shared=shared,
+                        ln_next=ln_next,
                     )
-        # the last kernel's emitted LN is the stage-final norm{stage}
-        grids.append(xln.reshape(B, H, W, C))
+                x, xln = out if fold else (out, xln)
+        if fold:
+            # the last kernel's emitted LN is the stage-final norm{stage}
+            x = xln
+        else:
+            x = _ln(x, params[f"norm{stage}"])
+        grids.append(x.reshape(B, H, W, C))
         x = grids[-1]
 
     if cfg.with_flow and flow is not None:

@@ -267,13 +267,15 @@ def test_ln1_in_kernel_matches_precomputed(rng):
 
 
 def test_pnext_and_ln_next_fold(rng):
-    """The round-4 folded tail — pnext added into the residual write and
-    LN(y) emitted under ln_next — equals the unfused composition (kernel,
-    then XLA-style add + LayerNorm), for both kernel variants."""
+    """The round-4 folded tail — the next block's prompt (C4 feat through
+    the shared_mlp) added into the residual write and LN(y) emitted under
+    ln_next — equals the unfused composition (kernel, then XLA-style
+    dense + add + LayerNorm), for both kernel variants."""
     from surgical_tpu.kernels.mit_block import fused_mit_block, fused_mit_block_hb
 
     B, H, W, heads, sr = 4, 8, 8, 2, 4
     C = heads * 64
+    C4 = C // 4
     N, Nkv = H * W, (H // sr) * (W // sr)
     hidden = 2 * C
     r = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.1)
@@ -287,7 +289,8 @@ def test_pnext_and_ln_next_fold(rng):
     }
     x = r(B, N, C) * 5
     k, v = r(B, Nkv, C) * 5, r(B, Nkv, C) * 5
-    pnext = r(B, N, C)
+    pfeat = r(B, N, C4)
+    shared = {"kernel": r(C4, C), "bias": r(C)}
     ln_next = {"scale": 1.0 + 0.1 * r(C), "bias": r(C)}
 
     def ln(y):
@@ -297,17 +300,22 @@ def test_pnext_and_ln_next_fold(rng):
         return ((y32 - mu) * jax.lax.rsqrt(var + 1e-6) * ln_next["scale"]
                 + ln_next["bias"]).astype(y.dtype)
 
+    prompt = (jnp.dot(pfeat, shared["kernel"],
+                      preferred_element_type=jnp.float32)
+              + shared["bias"]).astype(x.dtype)
+
     for fn in (fused_mit_block, fused_mit_block_hb):
         base = fn(x, None, k, v, w, heads=heads, H=H, W=W, bt=2, interpret=True)
-        want_y = base + pnext
+        want_y = base + prompt
         want_ln = ln(want_y)
         got_y, got_ln = fn(x, None, k, v, w, heads=heads, H=H, W=W, bt=2,
-                           pnext=pnext, ln_next=ln_next, interpret=True)
+                           pnext_feat=pfeat, prompt_shared=shared,
+                           ln_next=ln_next, interpret=True)
         np.testing.assert_allclose(np.asarray(got_y), np.asarray(want_y),
                                    rtol=1e-5, atol=1e-5, err_msg=fn.__name__)
         np.testing.assert_allclose(np.asarray(got_ln), np.asarray(want_ln),
                                    rtol=1e-5, atol=1e-5, err_msg=fn.__name__)
-        # ln_next without pnext: y unchanged from the base call
+        # ln_next without the prompt fold: y unchanged from the base call
         got_y2, got_ln2 = fn(x, None, k, v, w, heads=heads, H=H, W=W, bt=2,
                              ln_next=ln_next, interpret=True)
         np.testing.assert_allclose(np.asarray(got_y2), np.asarray(base),
