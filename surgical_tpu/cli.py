@@ -347,10 +347,12 @@ def cmd_extract_features(args) -> int:
     # chained dispatch (production path of the BENCH headline): one jit call
     # runs `chain_depth` batches via lax.scan so per-dispatch latency never
     # drains the chip between batches; depth 1 falls back to per-batch
+    wq = getattr(args, "weight_quant", None)
     if args.chain_depth > 1:
-        fn = make_raw_feature_chain_fn(model, variables, depth=args.chain_depth)
+        fn = make_raw_feature_chain_fn(model, variables,
+                                       depth=args.chain_depth, weight_quant=wq)
     else:
-        fn = make_raw_feature_fn(model, variables)
+        fn = make_raw_feature_fn(model, variables, weight_quant=wq)
 
     wanted = [s.strip() for s in getattr(args, "splits", "").split(",") if s.strip()] \
         or list(datasets)
@@ -410,7 +412,8 @@ def cmd_extract_features(args) -> int:
                 raise
             print(f"chained extraction failed ({str(e)[:120]}); "
                   "retrying per-dispatch", file=sys.stderr)
-            fstore, stats = _run(make_raw_feature_fn(model, variables), 1)
+            fstore, stats = _run(
+                make_raw_feature_fn(model, variables, weight_quant=wq), 1)
         print(f"{name}: {stats['frames']} frames at {stats['fps']:.0f} fps")
         if args.reference_pickles:
             fstore.to_reference_pickle(
@@ -1038,6 +1041,11 @@ def main(argv=None) -> int:
     sp.add_argument("--chain-depth", type=int, default=16,
                     help="batches per jit dispatch (lax.scan chain; the "
                          "BENCH protocol depth); 1 = per-batch dispatch")
+    sp.add_argument("--weight-quant", default=None, choices=["int8"],
+                    help="OPT-IN int8 weight quantization of the backbone "
+                         "(serving/quant.py). NOT bit-compatible with the "
+                         "reference's fp16 feature contract; measured "
+                         "throughput/parity deltas in docs/kernel_notes.md")
     sp.add_argument("--splits", default="",
                     help="comma list of splits to extract (default: all)")
     sp.add_argument("--depths", default=None,

@@ -51,14 +51,15 @@ def make_feature_fn(model, variables, mesh=None):
 
 def _use_fused_default(model, mesh) -> bool:
     """Route the fused Pallas serving graph (models/mit_fused.fused_forward,
-    the BENCH headline path) when extraction runs on ONE accelerator device
-    with a preset-size backbone. Multi-device meshes keep the flax graph —
-    XLA partitions it over the batch sharding, while a pallas_call is a
-    custom call XLA cannot split. CPU (tests) keeps the flax graph too."""
-    n_dev = int(np.prod(mesh.devices.shape))
+    the BENCH headline path) on accelerator meshes with a preset-size
+    backbone. Multi-device meshes run it under ``shard_map`` over the data
+    axis (extraction has no cross-batch dependence, so each device runs the
+    whole Pallas graph on its batch shard — round-3 VERDICT item 6: the old
+    n_dev==1 gate silently downgraded multi-chip extraction to the flax
+    graph). CPU (tests) keeps the flax graph — Mosaic kernels don't lower
+    there."""
     return (
-        n_dev == 1
-        and jax.default_backend() != "cpu"
+        jax.default_backend() != "cpu"
         and getattr(getattr(model, "cfg", None), "variant", "") != "tiny"
     )
 
@@ -78,24 +79,63 @@ def wire_dequant():
     return dequant
 
 
-def _serving_forward(model, use_fused):
+def _serving_forward(model, use_fused, mesh=None):
     if not use_fused:
         return lambda variables, img, seg, flow: model.apply(
             variables, img, seg, flow, return_features=True)
 
-    from surgical_tpu.models.mit_fused import fused_forward
+    import surgical_tpu.models.mit_fused as _mf
 
     def fn(variables, img, seg, flow):
-        return fused_forward(
+        # late-bound so tests can monkeypatch fused kernels to interpret mode
+        return _mf.fused_forward(
             variables["params"], variables["batch_stats"], img, seg, flow,
             model.cfg, model.head_cfg, return_features=True, bt=32,
         )
 
-    return fn
+    n_dev = 1 if mesh is None else int(np.prod(mesh.devices.shape))
+    if n_dev == 1:
+        return fn
+
+    # multi-device: a pallas_call is a custom call XLA cannot partition, so
+    # run the whole fused graph per device under shard_map over the data
+    # axis — extraction is embarrassingly data-parallel (no collectives)
+    from jax.sharding import PartitionSpec as P
+
+    from surgical_tpu.parallel.sequence import shard_map
+
+    Pd = P(meshlib.DATA_AXIS)
+
+    def sharded(variables, img, seg, flow):
+        if flow is None:
+            f = shard_map(
+                lambda v, i, s: fn(v, i, s, None), mesh=mesh,
+                in_specs=(P(), Pd, Pd), out_specs=Pd, check_vma=False)
+            return f(variables, img, seg)
+        f = shard_map(fn, mesh=mesh, in_specs=(P(), Pd, Pd, Pd),
+                      out_specs=Pd, check_vma=False)
+        return f(variables, img, seg, flow)
+
+    return sharded
+
+
+def _maybe_quantize(variables, weight_quant):
+    """weight_quant='int8' -> (int8 variables, scales dict, dequant fn);
+    None -> pass-through. Opt-in only: int8-weight features are not
+    bit-compatible with the reference's fp16-autocast contract
+    (serving/quant.py)."""
+    if weight_quant is None:
+        return variables, None, lambda v, s: v
+    if weight_quant != "int8":
+        raise ValueError(f"unknown weight_quant {weight_quant!r} (int8|None)")
+    from surgical_tpu.serving.quant import dequantize_tree, quantize_tree
+
+    q_vars, scales = quantize_tree(variables)
+    return q_vars, scales, lambda v, s: dequantize_tree(v, s, jnp.bfloat16)
 
 
 def make_raw_feature_fn(model, variables, mesh=None, use_fused=None,
-                        d2h_dtype=jnp.float16):
+                        d2h_dtype=jnp.float16, weight_quant=None):
     """Feature extractor taking WIRE-FORMAT batches: uint8 RGB images, uint8
     single-channel segmaps, float16 flow. Dequantization, normalization
     (Cholec80 channel stats) and segmap channel-broadcast are fused into the
@@ -114,30 +154,34 @@ def make_raw_feature_fn(model, variables, mesh=None, use_fused=None,
     mesh = mesh if mesh is not None else meshlib.make_mesh()
     if use_fused is None:
         use_fused = _use_fused_default(model, mesh)
-    forward = _serving_forward(model, use_fused)
+    forward = _serving_forward(model, use_fused, mesh)
+    variables, w_scales, w_dequant = _maybe_quantize(variables, weight_quant)
     variables = meshlib.replicate(mesh, variables)
+    w_scales = None if w_scales is None else meshlib.replicate(mesh, w_scales)
     batch_shard = meshlib.batch_sharding(mesh)
     dequant = wire_dequant()
 
     @jax.jit
-    def feature_fn(variables, img_u8, seg_u8, flow_f16):
+    def feature_fn(variables, w_scales, img_u8, seg_u8, flow_f16):
         # bf16 dequant halves the materialized activation traffic
         img, seg = dequant(img_u8, seg_u8)
         flow = None if flow_f16 is None else flow_f16.astype(jnp.bfloat16)
-        return forward(variables, img, seg, flow).astype(d2h_dtype)
+        return forward(w_dequant(variables, w_scales),
+                       img, seg, flow).astype(d2h_dtype)
 
     def wrapped(img_u8, seg_u8, flow_f16):
         img_u8 = jax.device_put(img_u8, batch_shard)
         seg_u8 = jax.device_put(seg_u8, batch_shard)
         if flow_f16 is not None:
             flow_f16 = jax.device_put(flow_f16, batch_shard)
-        return feature_fn(variables, img_u8, seg_u8, flow_f16)
+        return feature_fn(variables, w_scales, img_u8, seg_u8, flow_f16)
 
     return wrapped
 
 
 def make_raw_feature_chain_fn(model, variables, mesh=None, depth: int = 16,
-                              use_fused=None, d2h_dtype=jnp.float16):
+                              use_fused=None, d2h_dtype=jnp.float16,
+                              weight_quant=None):
     """Chained-dispatch variant of ``make_raw_feature_fn``: one jit call runs
     ``depth`` extraction steps via ``lax.scan`` over a device-staged
     superbatch [depth, B, ...], so per-batch dispatch latency (~1.1-1.5 ms
@@ -154,19 +198,23 @@ def make_raw_feature_chain_fn(model, variables, mesh=None, depth: int = 16,
     mesh = mesh if mesh is not None else meshlib.make_mesh()
     if use_fused is None:
         use_fused = _use_fused_default(model, mesh)
-    forward = _serving_forward(model, use_fused)
+    forward = _serving_forward(model, use_fused, mesh)
+    variables, w_scales, w_dequant = _maybe_quantize(variables, weight_quant)
     variables = meshlib.replicate(mesh, variables)
+    w_scales = None if w_scales is None else meshlib.replicate(mesh, w_scales)
     # [S, B, ...]: shard the BATCH axis (dim 1) over the data mesh
     batch_shard = NamedSharding(mesh, P(None, meshlib.DATA_AXIS))
     dequant = wire_dequant()
 
     @jax.jit
-    def chain_fn(variables, img_u8, seg_u8, flow_f16):
+    def chain_fn(variables, w_scales, img_u8, seg_u8, flow_f16):
+        live = w_dequant(variables, w_scales)
+
         def step(_, inputs):
             img_b, seg_b, flow_b = inputs
             img, seg = dequant(img_b, seg_b)
             flow = None if flow_b is None else flow_b.astype(jnp.bfloat16)
-            feats = forward(variables, img, seg, flow)
+            feats = forward(live, img, seg, flow)
             return None, feats.astype(d2h_dtype)
 
         _, feats = jax.lax.scan(step, None, (img_u8, seg_u8, flow_f16))
@@ -177,7 +225,7 @@ def make_raw_feature_chain_fn(model, variables, mesh=None, depth: int = 16,
         seg_u8 = jax.device_put(seg_u8, batch_shard)
         if flow_f16 is not None:
             flow_f16 = jax.device_put(flow_f16, batch_shard)
-        return chain_fn(variables, img_u8, seg_u8, flow_f16)
+        return chain_fn(variables, w_scales, img_u8, seg_u8, flow_f16)
 
     return wrapped
 

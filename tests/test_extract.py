@@ -94,3 +94,99 @@ def test_extract_features_chained_exact_multiple(rng):
         fake_chain_fn, iter(batches), total, 4, bs, depth=depth
     )
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def _interp_kernels():
+    """Context manager: route the fused Pallas kernels through interpret
+    mode (Mosaic doesn't lower on CPU) — same pattern as test_mit_fused."""
+    import contextlib
+
+    import surgical_tpu.kernels.mit_block as mb
+    import surgical_tpu.models.mit_fused as mf
+
+    @contextlib.contextmanager
+    def cm():
+        names = ("fused_mit_block", "fused_mit_block_hb", "fused_mit_stage")
+        saved = {n: getattr(mb, n) for n in names}
+
+        def wrap(orig):
+            def interp(*args, **kw):
+                kw["interpret"] = True
+                return orig(*args, **kw)
+            return interp
+
+        try:
+            for n, orig in saved.items():
+                setattr(mb, n, wrap(orig))
+                setattr(mf, n, wrap(orig))
+            yield
+        finally:
+            for n, orig in saved.items():
+                setattr(mb, n, orig)
+                setattr(mf, n, orig)
+
+    return cm()
+
+
+def test_sharded_fused_extraction_multidevice(rng):
+    """VERDICT r3 item 6: the fused Pallas graph must shard over a
+    multi-device mesh (shard_map per device), not silently downgrade to the
+    flax graph. On the 8-device CPU mesh: the shard_map-fused wire-format
+    extractor (a) matches the flax wire-format extractor, (b) lands its
+    output sharded over all 8 devices, and (c) the chained-dispatch variant
+    agrees with the per-dispatch one."""
+    import jax
+    import jax.numpy as jnp
+
+    from surgical_tpu.core.config import BackboneConfig, HeadConfig
+    from surgical_tpu.models.mit_evp import MiTEVP
+    from surgical_tpu.parallel import mesh as meshlib
+    from surgical_tpu.train.extract import (
+        make_raw_feature_chain_fn,
+        make_raw_feature_fn,
+    )
+
+    cfg = BackboneConfig(
+        variant="tiny", embed_dims=(16, 32, 40, 64), num_heads=(1, 2, 4, 8),
+        depths=(1, 1, 2, 1), sr_ratios=(8, 4, 2, 1), qkv_bias=True,
+        drop_path_rate=0.0, img_size=64,
+    )
+    head = HeadConfig(embedding_dim=64, hidden=32)
+    model = MiTEVP(cfg, head)
+    z = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), z, z, jnp.zeros((1, 64, 64, 2)))
+
+    mesh = meshlib.make_mesh()
+    n_dev = int(np.prod(mesh.devices.shape))
+    assert n_dev == 8
+
+    B = 16  # 2 images per device
+    img = rng.integers(0, 255, (B, 64, 64, 3)).astype(np.uint8)
+    seg = rng.integers(0, 255, (B, 64, 64, 1)).astype(np.uint8)
+    flw = rng.standard_normal((B, 64, 64, 2)).astype(np.float16)
+
+    ref_fn = make_raw_feature_fn(model, variables, mesh=mesh, use_fused=False)
+    ref = np.asarray(ref_fn(img, seg, flw), np.float32)
+
+    with _interp_kernels():
+        fused_fn = make_raw_feature_fn(model, variables, mesh=mesh,
+                                       use_fused=True)
+        out = fused_fn(img, seg, flw)
+        got = np.asarray(out, np.float32)
+        # output committed to the full data mesh, one shard per device
+        assert len(out.sharding.device_set) == n_dev
+        shard_rows = {s.data.shape[0] for s in out.addressable_shards}
+        assert shard_rows == {B // n_dev}
+
+        S = 2
+        chain_fn = make_raw_feature_chain_fn(model, variables, mesh=mesh,
+                                             depth=S, use_fused=True)
+        sup = tuple(np.stack([a] * S) for a in (img, seg, flw))
+        chained = np.asarray(chain_fn(*sup), np.float32)
+
+    denom = np.maximum(np.abs(ref), 1e-2)
+    assert np.median(np.abs(got - ref) / denom) < 0.05
+    corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.99, corr
+    for s in range(S):
+        np.testing.assert_allclose(chained[s], got, rtol=2e-2, atol=2e-2)
