@@ -228,7 +228,20 @@ def bench_production_extract(batch_size: int = 128, depth: int = 16,
             pending = feats
         _ = np.asarray(pending)
         rates.append(S * B * chains / (time.perf_counter() - t0))
-    return rates
+
+    # production-vs-capability decomposition (round-3 VERDICT item 3): the
+    # un-overlapped feature D2H for one chain over THIS env's tunnel —
+    # production pays whatever of it doesn't fit behind the next dispatch,
+    # plus one relay dispatch per chain
+    d2h = []
+    for _ in range(min(rounds, 3)):
+        feats = chain_fn(*sup)
+        _ = np.asarray(feats[-1, -1, :8])  # fence compute
+        t0 = time.perf_counter()
+        _ = np.asarray(feats)
+        d2h.append(time.perf_counter() - t0)
+    d2h_bytes = int(np.prod(feats.shape)) * 2  # f16 wire
+    return rates, min(d2h) * 1e3, d2h_bytes
 
 
 def bench_cache_read(n_frames: int = 512, size: int = 250, batch: int = 128):
@@ -369,6 +382,84 @@ def bench_online_refined_streaming(T: int = 2048, rounds: int = 4):
     return T / best
 
 
+def bench_online_session_e2e(lo: int = 4, hi: int = 16, rounds: int = 4):
+    """THE live-surgery number (round-3 VERDICT item 4): the full streaming
+    session on-chip — one frame in -> refined phase logits out. Fused-Pallas
+    MiT-B3 backbone at B=1 -> OnlineMSTCN ring-buffer step -> OnlineRefiner
+    single-window step (the OnlineSession composition, serving/online.py),
+    scanned over frames in one dispatch; two-point overhead-cancelled
+    ms/frame = the on-chip added latency per frame (the env relay's fixed
+    per-dispatch ~26-36 ms is a tunnel artifact a real host doesn't pay per
+    frame when frames stream through a persistent dispatch)."""
+    from surgical_tpu.core.config import (
+        BackboneConfig, HeadConfig, MSTCNConfig, RefinerConfig,
+    )
+    from surgical_tpu.models.mit_evp import MiTEVP
+    from surgical_tpu.models.mit_fused import fused_forward
+    from surgical_tpu.models.mstcn import MultiStageTCN
+    from surgical_tpu.models.transsv import RefinementTransformer
+    from surgical_tpu.serving.online import OnlineMSTCN, OnlineRefiner
+    from surgical_tpu.train.extract import wire_dequant
+
+    cfg = BackboneConfig.preset("b3")
+    head = HeadConfig()
+    model = MiTEVP(cfg, head, compute_dtype=jnp.bfloat16)
+    z = jnp.zeros((1, 224, 224, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), z, z,
+                           jnp.zeros((1, 224, 224, 2)))
+
+    tcfg = MSTCNConfig(stages=2, layers=8, f_maps=32, f_dim=2048)
+    tmodel = MultiStageTCN(tcfg)
+    tparams = tmodel.init(jax.random.key(1), jnp.zeros((1, 4, tcfg.f_dim)))
+    temporal = OnlineMSTCN(tmodel, tparams)
+    rcfg = RefinerConfig(f_maps=32, f_dim=tcfg.f_dim)
+    rmodel = RefinementTransformer(rcfg)
+    rparams = rmodel.init(jax.random.key(2),
+                          jnp.zeros((rcfg.len_q, rcfg.out_features)),
+                          jnp.zeros((rcfg.len_q, rcfg.f_dim)))
+    refiner = OnlineRefiner(rmodel, rparams)
+    dequant = wire_dequant()
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def session_chain(variables, img_u8, seg_u8, flow_f16, iters):
+        def body(carry, i):
+            ts, rs, acc = carry
+            # perturb the frame per step so LICM cannot hoist the backbone
+            im, sg = dequant(img_u8 ^ (i & 1).astype(jnp.uint8), seg_u8)
+            feat = fused_forward(
+                variables["params"], variables["batch_stats"],
+                im, sg, flow_f16.astype(jnp.bfloat16), cfg, head,
+                return_features=True, bt=1,
+            )[0]
+            # round through the f16 feature wire exactly as OnlineSession
+            feat = feat.astype(jnp.float16).astype(jnp.float32)
+            ts2, logits = temporal._step_impl(ts, feat)
+            g_t = logits[-1] if logits.ndim == 2 else logits
+            rs2, refined = refiner._step_impl(rs, g_t, feat)
+            return (ts2, rs2, acc + jnp.sum(refined)), None
+
+        init = (temporal.init_state(), refiner.init_state(), jnp.float32(0))
+        (_, _, acc), _ = jax.lax.scan(body, init, jnp.arange(iters))
+        return acc
+
+    rng = np.random.default_rng(0)
+    img = jax.device_put(rng.integers(0, 255, (1, 224, 224, 3), dtype=np.uint8))
+    seg = jax.device_put(rng.integers(0, 255, (1, 224, 224, 1), dtype=np.uint8))
+    flw = jax.device_put(rng.standard_normal((1, 224, 224, 2)).astype(np.float16))
+
+    totals = {}
+    for n in (lo, hi):
+        _ = np.asarray(session_chain(variables, img, seg, flw, iters=n))
+        best = float("inf")
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            _ = np.asarray(session_chain(variables, img, seg, flw, iters=n))
+            best = min(best, time.perf_counter() - t0)
+        totals[n] = best
+    per_frame_s = (totals[hi] - totals[lo]) / (hi - lo)
+    return per_frame_s * 1e3, 1.0 / per_frame_s  # (ms/frame, fps)
+
+
 def bench_mamba_inference(T: int = 2048, iters: int = 20):
     """Causal Mamba whole-video forward on the Pallas selective-scan kernel."""
     from surgical_tpu.core.config import MambaConfig
@@ -391,8 +482,9 @@ def bench_mamba_inference(T: int = 2048, iters: int = 20):
 def main():
     fps, e2e_fps, rates, chain_rates, chain_overhead_ms = bench_lfb_extraction()
     prod_fallback = None
+    prod_d2h_ms = prod_d2h_bytes = None
     try:
-        prod_rates = bench_production_extract()
+        prod_rates, prod_d2h_ms, prod_d2h_bytes = bench_production_extract()
     except Exception as e:  # noqa: BLE001 — the env's remote compile helper
         # intermittently 500s on large chained programs (see memory/kernel
         # notes); degrade to the per-dispatch pipeline (production-SHAPED:
@@ -406,6 +498,12 @@ def main():
     mamba_s = bench_mamba_inference()
     online_fps = bench_online_streaming()
     online_refined_fps = bench_online_refined_streaming()
+    try:
+        session_ms, session_fps = bench_online_session_e2e()
+    except Exception as e:  # noqa: BLE001 — keep the headline alive if the
+        # B=1 chained graph fails to compile on a given backend
+        print(f"# online session e2e failed ({str(e)[:120]})", file=sys.stderr)
+        session_ms = session_fps = None
     decode_fps = bench_native_decode()
     cache_fps = bench_cache_read()
     # headline = the PRODUCTION path (cli extract-features' chained pipeline
@@ -413,6 +511,26 @@ def main():
     # corresponds to (generate_evp_LFB.py extraction loop). The raw chip
     # capability (no D2H) is reported alongside in extra.
     prod_fps = max(prod_rates)
+    # gap decomposition + real-host projection (round-3 VERDICT item 3):
+    # production pays, per chain, one relay dispatch + whatever of the
+    # feature D2H the next dispatch's shadow doesn't cover; a real host
+    # replaces the relay with ~0.1 ms and the tunnel with >=16 GB/s PCIe
+    gap = None
+    if prod_d2h_ms is not None and prod_fallback is None:
+        frames = 16 * 128  # bench_production_extract defaults (S, B)
+        comp_ms = frames / fps * 1e3  # chip capability, same graph
+        proj_ms = comp_ms + prod_d2h_bytes / 16e9 * 1e3 + 0.1
+        gap = {
+            "production_ms_per_chain": round(frames / prod_fps * 1e3, 1),
+            "capability_compute_ms_per_chain": round(comp_ms, 1),
+            "relay_dispatch_ms_per_chain": round(chain_overhead_ms, 1),
+            "feature_d2h_unoverlapped_ms_per_chain": round(prod_d2h_ms, 1),
+            "feature_d2h_tunnel_gbps": round(
+                prod_d2h_bytes / prod_d2h_ms / 1e6, 3),
+            "projected_real_host_fps": round(frames / proj_ms * 1e3, 1),
+            "projection_formula": "frames / (frames/chip_capability_fps + "
+                                  "d2h_bytes/16e9 + 0.1ms)",
+        }
     protocol = (
         "value/vs_baseline = production chained-dispatch "
         "pipeline (train/extract.make_raw_feature_chain_fn, "
@@ -455,6 +573,18 @@ def main():
             "mamba_inference_s_per_video": round(mamba_s, 4),
             "online_streaming_fps": round(online_fps, 1),
             "online_refined_streaming_fps": round(online_refined_fps, 1),
+            "online_session_e2e_ms_per_frame": (
+                None if session_ms is None else round(session_ms, 2)),
+            "online_session_e2e_fps": (
+                None if session_fps is None else round(session_fps, 1)),
+            "production_gap_decomposition": gap,
+            "multi_chip_model": (
+                "projected n-chip extraction = n x chip_capability_fps: "
+                "the fused Pallas graph shard_maps per device over the "
+                "data axis (train/extract._serving_forward), exactness + "
+                "per-device sharding proven on the 8-device CPU mesh "
+                "(test_sharded_fused_extraction_multidevice); no "
+                "cross-device collectives in the graph"),
             "device": str(jax.devices()[0]),
             "protocol": protocol,
             "note": "env tunnel ~0.05-2 GB/s is not representative of a TPU "
