@@ -342,10 +342,11 @@ def main():
         bw = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16),
                           block_weights_from_params(params[f"block{stage}_0"]))
 
-        # mirror the ROUTED kernels incl. the round-4 fold (s1/s2 only —
-        # mit_fused._FOLD_STAGES): the next prompt's C4 feat + shared_mlp
-        # folded into the residual write, LN(y) emitted for the next kv
-        # path, and the hb variant where fused_forward routes to it
+        # mirror the ROUTED kernels (mit_fused._FOLD_STAGES — empty by
+        # default since the fold measured a loss; when set, the next
+        # prompt's C4 feat + shared_mlp fold into the residual write and
+        # LN(y) is emitted) and the hb variant where fused_forward routes
+        # to it
         from surgical_tpu.kernels.mit_block import fused_mit_block_hb
         from surgical_tpu.models.mit_fused import _FOLD_STAGES
         C4 = C // cfg.prompt_scale_factor
@@ -543,7 +544,8 @@ the big-array rate, so each stage's HBM time is bracketed by
 floor band = max(MXU, VPU-band, HBM-at-stream-rate) — the LOW edge (VPU at
 its ILP-probe rate) is the true lower bound; the HIGH edge prices VPU work
 at the serial-chain rate. measured = the real per-stage block loop on the
-ROUTED kernels (round-4 folded: pnext + emitted LN), overhead-cancelled.
+ROUTED kernels (round-4 routing: in-kernel LN1, fold OFF — it measured a
+loss at every stage, kernel_notes), overhead-cancelled.
 `*` = whole-stage fused kernel routing.
 
 | stage | MXU ms | VPU ms band | HBM ms | floor band (bound) | measured | gap band |
@@ -552,10 +554,10 @@ ROUTED kernels (round-4 folded: pnext + emitted LN), overhead-cancelled.
 
 - stage floor-band sum: **{r['stage_floor_ms_band'][0]}-{r['stage_floor_ms_band'][1]} ms**; measured: **{r['stage_measured_ms']} ms**
 - whole forward measured: **{r['full_forward_ms']} ms** → **{r['measured_fps']} fps/chip**
-- non-stage remainder: **{r['nonstage_ms']} ms** — patch embeds, batched
-  prompt precompute, flow fusion, head, plus the per-block XLA-side ops the
-  stage loops exclude — after the round-4 fold, only the SR conv + kv
-  projection per block (the genuinely pre-kernel chain).
+- non-stage remainder: **{r['nonstage_ms']} ms** — patch embeds, the
+  prompt path (batched precompute at s1, per-block MLPs at s2/s3 — the
+  measured optimum), flow fusion, head, plus the per-block XLA-side
+  add/LN1/SR/kv chain the stage loops exclude.
 - MFU: **{r['matmul_gflops_per_frame']} matmul GFLOPs/frame → {r['mfu_pct']}%
   of the 197-TFLOP bf16 peak** at the measured rate. Low in absolute terms
   and architecture-intrinsic: the binding resource at every stage is the
