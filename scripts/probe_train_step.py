@@ -36,6 +36,10 @@ import numpy as np
 from scripts._timing import chain_time
 
 B = int(os.environ.get("BENCH_B", "88"))
+# BENCH_PRESET=tiny + BENCH_IMG=64 make a CPU smoke run tractable; the
+# measurement protocol is identical either way
+PRESET = os.environ.get("BENCH_PRESET", "b3")
+IMG = int(os.environ.get("BENCH_IMG", "250"))
 LO, HI = 3, 9
 ROUNDS = 4
 
@@ -50,7 +54,15 @@ def main():
     )
     from surgical_tpu.train.losses import smooth_l1, weighted_cross_entropy
 
-    cfg = BackboneConfig.preset("b3")
+    if PRESET == "tiny":
+        cfg = BackboneConfig(
+            variant="tiny", embed_dims=(16, 32, 40, 64),
+            num_heads=(1, 2, 4, 8), depths=(1, 1, 2, 1),
+            sr_ratios=(8, 4, 2, 1), qkv_bias=True, drop_path_rate=0.1,
+            img_size=IMG,
+        )
+    else:
+        cfg = BackboneConfig.preset(PRESET)
     model = MiTEVP(cfg, HeadConfig(), compute_dtype=jnp.bfloat16)
     trainer = BackboneTrainer(
         model,
@@ -60,9 +72,9 @@ def main():
     params, batch_stats, opt_state = trainer.init(jax.random.key(0))
 
     rng = np.random.default_rng(0)
-    img = jax.device_put(rng.integers(0, 255, (B, 250, 250, 3), dtype=np.uint8))
-    seg = jax.device_put(rng.integers(0, 255, (B, 250, 250, 1), dtype=np.uint8))
-    flw = jax.device_put(rng.standard_normal((B, 250, 250, 2)).astype(np.float16))
+    img = jax.device_put(rng.integers(0, 255, (B, IMG, IMG, 3), dtype=np.uint8))
+    seg = jax.device_put(rng.integers(0, 255, (B, IMG, IMG, 1), dtype=np.uint8))
+    flw = jax.device_put(rng.standard_normal((B, IMG, IMG, 2)).astype(np.float16))
     labels = jax.device_put(rng.integers(0, 7, (B,)).astype(np.int32))
     ant = jax.device_put(rng.uniform(0, 1, (B, 7)).astype(np.float32))
     key = jax.random.key(1)
@@ -124,7 +136,8 @@ def main():
 
     import time
 
-    report = {"B": B, "device": str(jax.devices()[0])}
+    report = {"B": B, "preset": PRESET, "img": IMG,
+              "device": str(jax.devices()[0])}
     for phase in ("aug", "fwd", "fwdbwd", "full"):
         fn = functools.partial(chain, phase, train0, opt_state)
 
