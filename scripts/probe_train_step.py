@@ -33,7 +33,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from scripts._timing import chain_time
 
 B = int(os.environ.get("BENCH_B", "88"))
 # BENCH_PRESET=tiny + BENCH_IMG=64 make a CPU smoke run tractable; the
