@@ -64,3 +64,62 @@ def test_fused_forward_matches_flax(rng):
     assert np.median(rel) < 0.05, (np.median(rel), np.abs(got - ref).max())
     corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
     assert corr > 0.99, corr
+
+
+def test_batched_prompt_precompute_depth_gt_1(rng):
+    """The round-4 batched stage-entry prompt precompute (VERDICT r3 item 1:
+    one [B*N, Cb] @ [Cb, D*C4] dot replacing D per-block lightweight_mlps)
+    must agree with the per-block path at depth > 1 — the default tiny cfg
+    has depth 1 at the routed stage, which would leave the D>1 slicing
+    (feat[:, :, d]) untested."""
+    import surgical_tpu.kernels.mit_block as mb
+    import surgical_tpu.models.mit_fused as mf
+
+    cfg = BackboneConfig(
+        variant="tiny", embed_dims=(16, 32, 40, 64), num_heads=(1, 2, 4, 8),
+        depths=(3, 2, 2, 1), sr_ratios=(8, 4, 2, 1), qkv_bias=True,
+        drop_path_rate=0.0, img_size=64,
+    )
+    head = HeadConfig(embedding_dim=64, hidden=32)
+    model = MiTEVP(cfg, head)
+
+    B = 2
+    img = jnp.asarray(rng.standard_normal((B, 64, 64, 3)).astype(np.float32))
+    seg = jnp.asarray(rng.standard_normal((B, 64, 64, 3)).astype(np.float32))
+    flow = jnp.asarray(rng.standard_normal((B, 64, 64, 2)).astype(np.float32))
+    variables = model.init(jax.random.key(0), img, seg, flow)
+
+    def wrap(orig):
+        def interp(*args, **kw):
+            kw["interpret"] = True
+            return orig(*args, **kw)
+        return interp
+
+    saved = {n: getattr(mb, n)
+             for n in ("fused_mit_block", "fused_mit_block_hb", "fused_mit_stage")}
+    saved_route = mf._BATCH_PROMPT_STAGES
+    outs = {}
+    try:
+        for n, orig in saved.items():
+            setattr(mb, n, wrap(orig))
+            setattr(mf, n, wrap(orig))
+        for name, route in (("per_block", ()), ("batched", (1, 2, 3))):
+            mf._BATCH_PROMPT_STAGES = route
+            outs[name] = np.asarray(
+                fused_forward(
+                    variables["params"], variables["batch_stats"], img, seg,
+                    flow, cfg, head, return_features=True, bt=1,
+                ),
+                np.float32,
+            )
+    finally:
+        mf._BATCH_PROMPT_STAGES = saved_route
+        for n, orig in saved.items():
+            setattr(mb, n, orig)
+            setattr(mf, n, orig)
+
+    # same math, different association order: near-exact in bf16
+    np.testing.assert_allclose(outs["batched"], outs["per_block"],
+                               rtol=0, atol=2e-2)
+    corr = np.corrcoef(outs["batched"].ravel(), outs["per_block"].ravel())[0, 1]
+    assert corr > 0.9999, corr
