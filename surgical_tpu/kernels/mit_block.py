@@ -664,6 +664,109 @@ def _block_kernel_packed2(
     y_ref[0] = (x.astype(jnp.float32) + mlp_out).astype(y_ref.dtype)
 
 
+def _dwconv3x3_rows(h, w_taps, bias, H, W, row0):
+    """3x3 depthwise conv on a contiguous ROW-RANGE tile [M, C] of one
+    token grid (M = rows*W), with ``row0`` the (traced) GLOBAL grid row of
+    tile-local row 0. Identical math to ``_dwconv3x3`` but validity is
+    checked against the global H so spatial chunks + halos compose exactly:
+    a tap whose source row falls outside [0, H) is masked even when the
+    halo physically holds (clamped-index) garbage."""
+    M, C = h.shape
+    t = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)
+    grow = row0 + t // W
+    col = t % W
+    acc = jnp.zeros((M, C), jnp.float32)
+    k = 0
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            shifted = _shift_rows(h, dy * W + dx)  # defined below; resolved at trace time
+            valid = (
+                (grow + dy >= 0) & (grow + dy < H)
+                & (col + dx >= 0) & (col + dx < W)
+            )
+            acc = acc + jnp.where(valid, shifted, 0).astype(jnp.float32) * w_taps[k][None, :]
+            k += 1
+    return (acc + bias).astype(h.dtype)
+
+
+def _block_kernel_packed2s(
+    x_ref, xa_ref, xb_ref, ln1_ref, bdk_ref, bdv_ref,
+    seg_ref, segT_ref, ind_ref, indT_ref,
+    wq_ref, bq_ref, wo_ref, bo_ref,
+    ln2s_ref, ln2b_ref,
+    w1_ref, b1_ref, wdw_ref, bdw_ref, w2_ref, b2_ref,
+    y_ref,
+    *, H: int, W: int, rpc: int, n_chunks: int, CH: int,
+):
+    """SPATIALLY-TILED packed2 (round 5, VERDICT r4 item 2): one image pair
+    x one ``rpc``-row chunk of the token grid per grid step, with a 1-row
+    dwconv halo above/below fetched as separate (clamped-index) blocks.
+
+    Every op in the block except the 3x3 depthwise conv is ROW-LOCAL
+    (attention rows attend only to the tiny SR-reduced k/v, which is
+    resident per pair; LN/projections/GELU are per-token), so chunking N
+    shrinks EVERY [N, *] temporary by the chunk factor — the containment
+    axis the packed2 postmortem (docs/kernel_notes.md) never tried. The
+    halo rows run through the whole pipeline too (~2/(rpc+2) extra
+    compute) and only their dwconv contribution is consumed; their outputs
+    are not written. Edge chunks read clamped halo blocks whose garbage is
+    masked by the global-row validity in ``_dwconv3x3_rows``.
+    """
+    N = H * W
+    C2 = x_ref.shape[-1]
+    hd = C2 // 2
+    scale = 1.0 / np.sqrt(hd)
+    j = pl.program_id(1)
+    row0 = j * rpc - 1  # global grid row of tile-local row 0
+
+    x = jnp.concatenate([xa_ref[0], x_ref[0], xb_ref[0]], axis=0)  # [(rpc+2)W, C2]
+    xln = _ln_packed2(x, ind_ref, indT_ref, ln1_ref[0][None, :],
+                      ln1_ref[1][None, :], hd)
+    q = (
+        jnp.dot(xln, wq_ref[:], preferred_element_type=jnp.float32)
+        + bq_ref[0][None, :]
+    ).astype(x.dtype)
+
+    scores = (
+        jnp.dot(q, bdk_ref[0], preferred_element_type=jnp.float32) * scale
+    )
+    m = jnp.max(scores, axis=-1, keepdims=True)  # row-global max: exact
+    p = jnp.exp(scores - m)
+    ssum = jnp.dot(p, seg_ref[:], preferred_element_type=jnp.float32)
+    denom = jnp.dot(ssum, segT_ref[:], preferred_element_type=jnp.float32)
+    probs = (p / denom).astype(x.dtype)
+    ctx = jnp.dot(probs, bdv_ref[0], preferred_element_type=jnp.float32).astype(x.dtype)
+
+    attn_out = (
+        jnp.dot(ctx, wo_ref[:], preferred_element_type=jnp.float32)
+        + bo_ref[0][None, :]
+    )
+    x = (x.astype(jnp.float32) + attn_out).astype(x.dtype)
+
+    h2ln = _ln_packed2(x, ind_ref, indT_ref, ln2s_ref[0][None, :],
+                       ln2b_ref[0][None, :], hd)
+
+    def chunk(c, mlp_out):
+        sl = pl.ds(c * CH, CH)
+        hc = (
+            jnp.dot(h2ln, w1_ref[:, sl], preferred_element_type=jnp.float32)
+            + b1_ref[0, sl][None, :]
+        ).astype(x.dtype)
+        hc = _dwconv3x3_rows(hc, wdw_ref[:, sl], bdw_ref[0, sl][None, :],
+                             H, W, row0)
+        hc = jax.nn.gelu(hc.astype(jnp.float32), approximate=True)
+        return mlp_out + jnp.dot(
+            hc.astype(x.dtype), w2_ref[sl, :], preferred_element_type=jnp.float32
+        )
+
+    mlp_out = jax.lax.fori_loop(
+        0, n_chunks, chunk,
+        jnp.zeros(((rpc + 2) * W, C2), jnp.float32) + b2_ref[0][None, :],
+    )
+    y = (x.astype(jnp.float32) + mlp_out).astype(y_ref.dtype)
+    y_ref[0] = y[W : (rpc + 1) * W]  # center rows only (static slice)
+
+
 def _block_diag2(w: jax.Array) -> jax.Array:
     """[a, b] -> [2a, 2b] with w on the diagonal blocks."""
     a, b = w.shape
@@ -694,7 +797,7 @@ def pack_weights2(weights: dict[str, Any]) -> dict[str, Any]:
     }
 
 
-@functools.partial(jax.jit, static_argnames=("H", "W", "interpret"))
+@functools.partial(jax.jit, static_argnames=("H", "W", "row_chunks", "interpret"))
 def fused_mit_block_packed2(
     x: jax.Array,      # [B, N, 64] residual input (B even)
     k: jax.Array,      # [B, Nkv, 64]
@@ -703,10 +806,18 @@ def fused_mit_block_packed2(
     *,
     H: int,
     W: int,
+    row_chunks: int = 1,
     interpret: bool = False,
 ) -> jax.Array:
     """Single-head C=64 block with two images packed into the 128 lanes.
-    LN1 is always computed in-kernel (packed["ln1"])."""
+    LN1 is always computed in-kernel (packed["ln1"]).
+
+    ``row_chunks`` > 1 additionally tiles the token grid SPATIALLY: the
+    pallas grid becomes (pairs, row_chunks) and each step processes an
+    ``H/row_chunks``-row band plus a 1-row dwconv halo — every [N, *]
+    temporary shrinks by the chunk factor, bounding the kernel's scoped
+    VMEM well under the 16 MB limit the unchunked variant sat on
+    (docs/kernel_notes.md packed2 postmortem)."""
     B, N, C = x.shape
     assert B % 2 == 0 and C == 64, (B, C)
     P = B // 2
@@ -748,6 +859,54 @@ def fused_mit_block_packed2(
     # tail hidden channels of the MLP chunk walk
     assert hidden2 % CH == 0, (hidden2, CH)
     n_chunks = hidden2 // CH
+
+    if row_chunks > 1:
+        assert H % row_chunks == 0, (H, row_chunks)
+        rpc = H // row_chunks
+        Cp = 2 * C  # packed lane width (two 64-channel images)
+        rowv = lambda w: jnp.asarray(w).reshape(1, -1)
+
+        def cspec(shape, index):
+            return pl.BlockSpec(shape, index, memory_space=pltpu.VMEM)
+
+        pair = lambda *s: cspec((1, *s), lambda i, j: (i,) + (0,) * len(s))
+        const = lambda *s: cspec(s, lambda i, j: (0,) * len(s))
+        args = (
+            xp, xp, xp,  # center band + above/below 1-row halos (clamped)
+            packed["ln1"], bdk, bdv, seg, segT, ind, indT,
+            packed["wq"], rowv(packed["bq"]),
+            packed["wo"], rowv(packed["bo"]),
+            rowv(packed["ln2_scale"]), rowv(packed["ln2_bias"]),
+            packed["w1"], rowv(packed["b1"]),
+            packed["wdw"], rowv(packed["bdw"]),
+            packed["w2"], rowv(packed["b2"]),
+        )
+        in_specs = [
+            cspec((1, rpc * W, Cp), lambda i, j: (i, j, 0)),
+            cspec((1, W, Cp), lambda i, j: (i, jnp.maximum(j * rpc - 1, 0), 0)),
+            cspec((1, W, Cp),
+                  lambda i, j: (i, jnp.minimum((j + 1) * rpc, H - 1), 0)),
+            const(2, Cp),
+            pair(Cp, 2 * Nkv), pair(2 * Nkv, Cp),
+            const(2 * Nkv, 2), const(2, 2 * Nkv),
+            const(Cp, 2), const(2, Cp),
+            const(Cp, Cp), const(1, Cp),
+            const(Cp, Cp), const(1, Cp),
+            const(1, Cp), const(1, Cp),
+            const(Cp, hidden2), const(1, hidden2),
+            const(9, hidden2), const(1, hidden2),
+            const(hidden2, Cp), const(1, Cp),
+        ]
+        out = pl.pallas_call(
+            functools.partial(_block_kernel_packed2s, H=H, W=W, rpc=rpc,
+                              n_chunks=n_chunks, CH=CH),
+            grid=(P, row_chunks),
+            in_specs=in_specs,
+            out_specs=cspec((1, rpc * W, Cp), lambda i, j: (i, j, 0)),
+            out_shape=jax.ShapeDtypeStruct((P, N, Cp), x.dtype),
+            interpret=interpret,
+        )(*args)
+        return out.reshape(P, N, 2, C).transpose(0, 2, 1, 3).reshape(B, N, C)
 
     def bspec(shape, batched=True):
         if batched:

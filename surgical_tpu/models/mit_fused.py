@@ -69,11 +69,18 @@ _FOLD_STAGES: tuple = ()
 # where the per-block MLP fuses into the add). Only s1 routes here.
 _BATCH_PROMPT_STAGES: tuple = (1,)
 
-# 2-images-per-lane-row packed kernel for C=64 stages: measured ~3-5% faster
-# than the loop kernel but sits AT the 16 MB scoped-VMEM limit at N=3136 and
-# flips OOM with compile-to-compile variance (docs/kernel_notes.md packed2
-# postmortem) — unrouted until an in-kernel bounded-MLP mechanism exists.
+# 2-images-per-lane-row packed kernel for C=64 stages. Round-2 history: the
+# unchunked kernel measured ~3-5% faster than the loop kernel but sat AT the
+# 16 MB scoped-VMEM limit at N=3136, flipping OOM with compile-to-compile
+# variance (docs/kernel_notes.md packed2 postmortem) — unrouted. Round 5
+# added the containment axis the postmortem never tried: SPATIAL row-chunking
+# on the pallas grid (1-row dwconv halo, attention rows are k/v-local), which
+# shrinks every [N, *] temporary by the chunk factor instead of chunking
+# hidden — _PACKED2_ROW_CHUNKS bands per image pair bound scoped VMEM at
+# ~9 MB for N=3136. Routed when measured on chip (see kernel_notes round 5).
 _ROUTE_PACKED2 = False
+_PACKED2_ROW_CHUNKS = 2
+_PACKED2_MIN_N_FOR_CHUNKING = 2048
 from surgical_tpu.models.mit_evp import gaussian_blur_5x5
 from surgical_tpu.models.segformer_head import bilinear_resize
 
@@ -274,8 +281,11 @@ def fused_forward(
                        if d + 1 < depth else params[f"norm{stage}"]) \
                 if fold else None
             if _ROUTE_PACKED2 and C == 64 and cfg.num_heads[si] == 1 and B % 2 == 0:
+                rc = (_PACKED2_ROW_CHUNKS
+                      if N >= _PACKED2_MIN_N_FOR_CHUNKING
+                      and H % _PACKED2_ROW_CHUNKS == 0 else 1)
                 x = fused_mit_block_packed2(
-                    x, k, v, pack_weights2(weights), H=H, W=W,
+                    x, k, v, pack_weights2(weights), H=H, W=W, row_chunks=rc,
                 )
                 if pnext_feat is not None:
                     x = x + _dense(pnext_feat, shared)

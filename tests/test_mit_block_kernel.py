@@ -122,6 +122,16 @@ def test_lane_packed2_matches_unpacked(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
 
+    # spatial row-chunking (round 5): halo'd band tiles must be EXACT vs the
+    # unchunked kernel, including the image top/bottom rows where the halo
+    # blocks hold clamped garbage that the global-row dwconv mask discards
+    for rc in (2, 4):
+        tiled = fused_mit_block_packed2(x, k, v, pack_weights2(weights),
+                                        H=H, W=W, row_chunks=rc,
+                                        interpret=True)
+        np.testing.assert_allclose(np.asarray(tiled), np.asarray(got),
+                                   rtol=1e-5, atol=1e-5)
+
 
 # -- training kernel: custom VJP ------------------------------------------------
 
