@@ -159,15 +159,69 @@ def bilinear_sample(img: jax.Array, coords: jax.Array) -> jax.Array:
 
 
 def lookup_pyramid(pyr: list[jax.Array], flow: jax.Array, radius: int = 4) -> jax.Array:
-    """Sample a (2r+1)^2 window around (grid + flow) in every level.
+    """Sample a (2r+1)^2 window around (grid + flow) in every level — as
+    DENSE separable tent-weight matmuls, not gathers.
 
     flow: [H, W, 2] at 1/8 res. Returns [H, W, levels*(2r+1)^2].
+
+    Bilinear sampling with zero padding at fractional coordinate c is
+    exactly a contraction against the tent weights w[i] = relu(1 - |i - c|)
+    over the source axis (two nonzeros in-range; all-zero out-of-range =
+    the zero fill), and the window's integer offsets are just shifted
+    centers — so the whole lookup is, per level,
+
+        tmp[n, ky, w] = sum_h corr[n, h, w] * relu(1 - |h - (cy_n + d_ky)|)
+        out[n, ky, kx] = sum_w tmp[n, ky, w] * relu(1 - |w - (cx_n + d_kx)|)
+
+    two batched einsums that ride the MXU. Measured on chip (round 5,
+    scripts/probe_flow.py): the previous 4-corner computed-index gather ran
+    at ~0.43 GB/s (the known TPU gather hazard, docs/kernel_notes.md) and
+    was 99.7% of the whole RAFT forward — 12.34 ms/iter at 256², 247.6 ms
+    per 20-iter pair; this formulation replaces it with ~25 MFLOP of
+    matmul + a streaming read of the corr pyramid. Exact same semantics
+    (parity-tested vs the gather oracle).
 
     Window channel k = i*(2r+1)+j samples offset (dx=vals[i], dy=vals[j]):
     upstream builds ``delta = stack(meshgrid(dy, dx), -1)`` and adds it to
     (x, y) centroids, which enumerates the x offset along the OUTER axis —
     weight import requires the same enumeration.
     """
+    H, W = flow.shape[:2]
+    N = H * W
+    yy, xx = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    cx = (xx + flow[..., 0]).reshape(N)
+    cy = (yy + flow[..., 1]).reshape(N)
+    r = radius
+    K = 2 * r + 1
+    d = jnp.arange(-r, r + 1, dtype=jnp.float32)  # window offsets
+
+    out = []
+    for lvl, corr in enumerate(pyr):
+        scale = 2.0**lvl
+        h, w = corr.shape[1], corr.shape[2]
+        # tent weights [N, K, h/w]: relu(1 - |src - (center + offset)|)
+        ys = cy[:, None, None] / scale + d[None, :, None]  # [N, K, 1]
+        xs = cx[:, None, None] / scale + d[None, :, None]
+        wy = jnp.maximum(
+            0.0, 1.0 - jnp.abs(jnp.arange(h, dtype=jnp.float32) - ys))
+        wx = jnp.maximum(
+            0.0, 1.0 - jnp.abs(jnp.arange(w, dtype=jnp.float32) - xs))
+        tmp = jnp.einsum("nhw,nkh->nkw", corr.reshape(N, h, w), wy,
+                         preferred_element_type=jnp.float32)
+        smp = jnp.einsum("nkw,njw->nkj", tmp, wx,
+                         preferred_element_type=jnp.float32)  # [N, ky, kx]
+        # channel order: x offset OUTER (upstream meshgrid(dy, dx) quirk)
+        out.append(smp.transpose(0, 2, 1).reshape(H, W, K * K))
+    return jnp.concatenate(out, axis=-1)
+
+
+def lookup_pyramid_gather(pyr: list[jax.Array], flow: jax.Array, radius: int = 4) -> jax.Array:
+    """Reference 4-corner bilinear GATHER lookup — kept as the semantics
+    oracle for lookup_pyramid (tests) and as documentation of the measured
+    dead end (0.43 GB/s computed-index gathers, kernel_notes round 5)."""
     H, W = flow.shape[:2]
     yy, xx = jnp.meshgrid(
         jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32), indexing="ij"

@@ -58,6 +58,23 @@ def test_lookup_pyramid_shape(rng):
     assert feats.shape == (H, W, 2 * 25)
 
 
+def test_lookup_pyramid_dense_matches_gather(rng):
+    """The round-5 tent-weight matmul lookup == the 4-corner bilinear
+    zero-padded gather (the semantics oracle), including fractional flows,
+    window offsets that leave the frame, and non-square grids."""
+    from surgical_tpu.models.raft import lookup_pyramid_gather
+
+    H, W = 12, 16
+    corr = jnp.asarray(rng.standard_normal((H * W, H, W)).astype(np.float32))
+    pyr = corr_pyramid(corr, levels=3)
+    for scale in (0.0, 0.5, 3.7, 30.0):
+        flow = jnp.asarray(
+            (rng.standard_normal((H, W, 2)) * scale).astype(np.float32))
+        dense = np.asarray(lookup_pyramid(pyr, flow))
+        oracle = np.asarray(lookup_pyramid_gather(pyr, flow))
+        np.testing.assert_allclose(dense, oracle, rtol=1e-5, atol=1e-5)
+
+
 def test_convex_upsample_constant():
     flow = jnp.ones((4, 4, 2))
     mask = jnp.zeros((4, 4, 576))  # uniform convex weights after softmax
