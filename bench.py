@@ -460,6 +460,206 @@ def bench_online_session_e2e(lo: int = 4, hi: int = 16, rounds: int = 4):
     return per_frame_s * 1e3, 1.0 / per_frame_s  # (ms/frame, fps)
 
 
+def bench_backbone_train(B: int = 88, lo: int = 2, hi: int = 6, rounds: int = 3):
+    """Backbone train-step throughput at the reference's B=88 (round-5
+    VERDICT item 1): the REAL BackboneTrainer step — wire-format dequant +
+    clip-synced augmentation + frozen-trunk bf16 forward/backward + masked
+    SGD update — lax.scan-chained with per-step input perturbation,
+    two-point overhead-cancelled. Baselines: 74 fps stage-1 train, 522 fps
+    finetune (BASELINE.md; finetune_log.txt train_elapsed_time 165.50)."""
+    import optax
+
+    from surgical_tpu.core.config import (
+        BackboneConfig, HeadConfig, OptimConfig, TrainConfig,
+    )
+    from surgical_tpu.models.mit_evp import MiTEVP
+    from surgical_tpu.train.backbone import (
+        BackboneTrainer, combine_params, partition_params,
+    )
+    from surgical_tpu.train.losses import smooth_l1, weighted_cross_entropy
+
+    cfg = BackboneConfig.preset("b3")
+    model = MiTEVP(cfg, HeadConfig(), compute_dtype=jnp.bfloat16)
+    trainer = BackboneTrainer(
+        model,
+        TrainConfig(optim=OptimConfig(name="sgd", lr=1e-3, weight_decay=0.0,
+                                      grad_clip_norm=None)),
+    )
+    params, batch_stats, opt_state = trainer.init(jax.random.key(0))
+    train0, frozen, treedef = partition_params(params)
+
+    rng = np.random.default_rng(0)
+    img = jax.device_put(rng.integers(0, 255, (B, 250, 250, 3), dtype=np.uint8))
+    seg = jax.device_put(rng.integers(0, 255, (B, 250, 250, 1), dtype=np.uint8))
+    flw = jax.device_put(rng.standard_normal((B, 250, 250, 2)).astype(np.float16))
+    labels = jax.device_put(rng.integers(0, 7, (B,)).astype(np.int32))
+    ant = jax.device_put(rng.uniform(0, 1, (B, 7)).astype(np.float32))
+    key = jax.random.key(1)
+
+    def forward(train, aug, step_rng):
+        im, sg, fl = aug
+        p = combine_params(train, frozen, treedef)
+        (y, y_ant), _updates = model.apply(
+            {"params": p, "batch_stats": batch_stats},
+            im, sg, fl, train=True,
+            rngs={"dropout": jax.random.fold_in(step_rng, 1)},
+            mutable=["batch_stats"],
+        )
+        ce = weighted_cross_entropy(y.astype(jnp.float32), labels, reduction="sum")
+        reg = smooth_l1(y_ant.astype(jnp.float32), ant, reduction="sum")
+        return ce + reg
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def chain(train, opt_state, img_u8, iters):
+        def body(carry, i):
+            train, opt_state, acc = carry
+            im, sg, fl = trainer._dequant(
+                img_u8 ^ (i & 1).astype(jnp.uint8), seg, flw)
+            step_rng = jax.random.fold_in(key, i)
+            aug = trainer._augment(im, sg, fl, jax.random.fold_in(step_rng, 0))
+            loss, grads = jax.value_and_grad(forward)(train, aug, step_rng)
+            updates, opt_state = trainer._tx.update(grads, opt_state, train)
+            train = optax.apply_updates(train, updates)
+            return (train, opt_state, acc + loss), None
+
+        (_, _, acc), _ = jax.lax.scan(
+            body, (train, opt_state, jnp.float32(0)), jnp.arange(iters))
+        return acc
+
+    totals = {}
+    for n in (lo, hi):
+        _ = np.asarray(chain(train0, opt_state, img, iters=n))
+        best = float("inf")
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            _ = np.asarray(chain(train0, opt_state, img, iters=n))
+            best = min(best, time.perf_counter() - t0)
+        totals[n] = best
+    per_step = (totals[hi] - totals[lo]) / (hi - lo)
+    return B / per_step, per_step * 1e3  # (fps, ms/step)
+
+
+def bench_flow(res: int = 256, lo: int = 2, hi: int = 5, rounds: int = 3):
+    """RAFT optical-flow precompute rate (round-5 VERDICT item 3): the full
+    20-iteration RAFT forward per frame pair at the pipeline-equivalent
+    working resolution, chained + two-point overhead-cancelled. The lookup
+    runs as dense tent-weight matmuls (models/raft.py round-5 rewrite); the
+    4-corner gather it replaced measured 12.34 ms/iter (0.43 GB/s) = 99.7%
+    of the forward (scripts/probe_flow.py, docs/kernel_notes.md)."""
+    from surgical_tpu.models.raft import RAFT
+
+    model = RAFT(iters=20)
+    rng = np.random.default_rng(0)
+    im1 = jnp.asarray(rng.uniform(-1, 1, (res, res, 3)), jnp.float32)
+    im2 = jnp.asarray(rng.uniform(-1, 1, (res, res, 3)), jnp.float32)
+    params = model.init(jax.random.key(0), im1, im2)["params"]
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def chain(im1, iters):
+        def body(c, _):
+            flow = model.apply({"params": params}, c, im2)
+            return c + 1e-6 * jnp.mean(flow).astype(c.dtype), None
+
+        out, _ = jax.lax.scan(body, im1, None, length=iters)
+        return jnp.sum(out[0, :1])
+
+    totals = {}
+    for n in (lo, hi):
+        _ = np.asarray(chain(im1, iters=n))
+        best = float("inf")
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            _ = np.asarray(chain(im1, iters=n))
+            best = min(best, time.perf_counter() - t0)
+        totals[n] = best
+    per_pair = (totals[hi] - totals[lo]) / (hi - lo)
+    return 1.0 / per_pair, per_pair * 1e3  # (pairs/s, ms/pair)
+
+
+def bench_online_session_percentiles(n_frames: int = 48):
+    """Tail latency of the LIVE path (round-5 VERDICT item 8): live surgery
+    feeds ONE frame per dispatch (1 fps), so the honest per-frame latency is
+    one jit dispatch of the full session step (fused B=1 backbone ->
+    OnlineMSTCN ring-buffer step -> OnlineRefiner window step) including
+    the result D2H. Reports p50/p99 over ``n_frames`` dispatches plus the
+    first-frame cost (compile) separately. In THIS env every dispatch
+    carries the relay's fixed ~27-36 ms (probe_call_overhead.py) — a real
+    host pays ~0.1 ms instead; the chained-scan mean (the session e2e row)
+    brackets the pure on-chip per-frame work from below."""
+    from surgical_tpu.core.config import (
+        BackboneConfig, HeadConfig, MSTCNConfig, RefinerConfig,
+    )
+    from surgical_tpu.models.mit_evp import MiTEVP
+    from surgical_tpu.models.mit_fused import fused_forward
+    from surgical_tpu.models.mstcn import MultiStageTCN
+    from surgical_tpu.models.transsv import RefinementTransformer
+    from surgical_tpu.serving.online import OnlineMSTCN, OnlineRefiner
+    from surgical_tpu.train.extract import wire_dequant
+
+    cfg = BackboneConfig.preset("b3")
+    head = HeadConfig()
+    model = MiTEVP(cfg, head, compute_dtype=jnp.bfloat16)
+    z = jnp.zeros((1, 224, 224, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), z, z,
+                           jnp.zeros((1, 224, 224, 2)))
+    tcfg = MSTCNConfig(stages=2, layers=8, f_maps=32, f_dim=2048)
+    tmodel = MultiStageTCN(tcfg)
+    tparams = tmodel.init(jax.random.key(1), jnp.zeros((1, 4, tcfg.f_dim)))
+    temporal = OnlineMSTCN(tmodel, tparams)
+    rcfg = RefinerConfig(f_maps=32, f_dim=tcfg.f_dim)
+    rmodel = RefinementTransformer(rcfg)
+    rparams = rmodel.init(jax.random.key(2),
+                          jnp.zeros((rcfg.len_q, rcfg.out_features)),
+                          jnp.zeros((rcfg.len_q, rcfg.f_dim)))
+    refiner = OnlineRefiner(rmodel, rparams)
+    dequant = wire_dequant()
+
+    @jax.jit
+    def session_step(state, img_u8, seg_u8, flow_f16):
+        ts, rs = state
+        im, sg = dequant(img_u8, seg_u8)
+        feat = fused_forward(
+            variables["params"], variables["batch_stats"],
+            im, sg, flow_f16.astype(jnp.bfloat16), cfg, head,
+            return_features=True, bt=1,
+        )[0]
+        feat = feat.astype(jnp.float16).astype(jnp.float32)  # feature wire
+        ts2, logits = temporal._step_impl(ts, feat)
+        g_t = logits[-1] if logits.ndim == 2 else logits
+        rs2, refined = refiner._step_impl(rs, g_t, feat)
+        return (ts2, rs2), refined
+
+    rng = np.random.default_rng(0)
+    img = jax.device_put(rng.integers(0, 255, (1, 224, 224, 3), dtype=np.uint8))
+    seg = jax.device_put(rng.integers(0, 255, (1, 224, 224, 1), dtype=np.uint8))
+    flw = jax.device_put(rng.standard_normal((1, 224, 224, 2)).astype(np.float16))
+
+    state = (temporal.init_state(), refiner.init_state())
+    t0 = time.perf_counter()
+    state, refined = session_step(state, img, seg, flw)
+    _ = np.asarray(refined)
+    first_s = time.perf_counter() - t0
+
+    lats = []
+    for _ in range(n_frames):
+        t0 = time.perf_counter()
+        state, refined = session_step(state, img, seg, flw)
+        _ = np.asarray(refined)  # the result D2H a live consumer waits on
+        lats.append((time.perf_counter() - t0) * 1e3)
+    lats = np.asarray(lats)
+    return {
+        "p50_ms": round(float(np.percentile(lats, 50)), 2),
+        "p99_ms": round(float(np.percentile(lats, 99)), 2),
+        "max_ms": round(float(lats.max()), 2),
+        "first_frame_compile_s": round(first_s, 2),
+        "frames": int(n_frames),
+        "note": "per-dispatch wall incl. this env's fixed ~27-36 ms relay "
+                "per dispatch (a real host pays ~0.1 ms); the chained "
+                "online_session_e2e_ms_per_frame row is the pure on-chip "
+                "per-frame work",
+    }
+
+
 def bench_mamba_inference(T: int = 2048, iters: int = 20):
     """Causal Mamba whole-video forward on the Pallas selective-scan kernel."""
     from surgical_tpu.core.config import MambaConfig
@@ -504,6 +704,21 @@ def main():
         # B=1 chained graph fails to compile on a given backend
         print(f"# online session e2e failed ({str(e)[:120]})", file=sys.stderr)
         session_ms = session_fps = None
+    try:
+        session_pct = bench_online_session_percentiles()
+    except Exception as e:  # noqa: BLE001
+        print(f"# session percentiles failed ({str(e)[:120]})", file=sys.stderr)
+        session_pct = None
+    try:
+        train_fps, train_ms = bench_backbone_train()
+    except Exception as e:  # noqa: BLE001
+        print(f"# backbone train bench failed ({str(e)[:120]})", file=sys.stderr)
+        train_fps = train_ms = None
+    try:
+        flow_pps, flow_ms = bench_flow()
+    except Exception as e:  # noqa: BLE001
+        print(f"# flow bench failed ({str(e)[:120]})", file=sys.stderr)
+        flow_pps = flow_ms = None
     decode_fps = bench_native_decode()
     cache_fps = bench_cache_read()
     # headline = the PRODUCTION path (cli extract-features' chained pipeline
@@ -577,6 +792,19 @@ def main():
                 None if session_ms is None else round(session_ms, 2)),
             "online_session_e2e_fps": (
                 None if session_fps is None else round(session_fps, 1)),
+            "online_session_per_dispatch_latency": session_pct,
+            "backbone_train_fps": (
+                None if train_fps is None else round(train_fps, 1)),
+            "backbone_train_ms_per_step": (
+                None if train_ms is None else round(train_ms, 2)),
+            "backbone_train_vs_finetune_522": (
+                None if train_fps is None else round(train_fps / 522.0, 2)),
+            "backbone_train_vs_train_74": (
+                None if train_fps is None else round(train_fps / 74.0, 2)),
+            "flow_pairs_per_s": (
+                None if flow_pps is None else round(flow_pps, 2)),
+            "flow_ms_per_pair": (
+                None if flow_ms is None else round(flow_ms, 1)),
             "production_gap_decomposition": gap,
             "multi_chip_model": (
                 "projected n-chip extraction = n x chip_capability_fps: "
@@ -595,6 +823,29 @@ def main():
         },
     }
     print(json.dumps(result))
+    # tail hygiene (round-5 VERDICT item 6): the driver records the LAST N
+    # bytes of stdout, and BENCH_r04's headline keys were truncated away
+    # mid-JSON. Emit a compact but CONTRACT-COMPLETE summary as the final
+    # line so whichever line survives carries the headline.
+    print(json.dumps({
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "vs_baseline": result["vs_baseline"],
+        "extra": {
+            "compact_tail": True,
+            "full_record": "previous stdout line",
+            "chip_capability_fps": result["extra"]["chip_capability_fps"],
+            "projected_real_host_fps": (
+                None if gap is None else gap["projected_real_host_fps"]),
+            "backbone_train_fps": result["extra"]["backbone_train_fps"],
+            "flow_pairs_per_s": result["extra"]["flow_pairs_per_s"],
+            "protocol": ("production chained-dispatch pipeline"
+                         if prod_fallback is None
+                         else "DEGRADED per-dispatch (see full record)"),
+            "device": str(jax.devices()[0]),
+        },
+    }))
 
 
 if __name__ == "__main__":
