@@ -188,30 +188,47 @@ def color_jitter(img: jax.Array, p: AugParams) -> jax.Array:
 
 
 def normalize(img: jax.Array) -> jax.Array:
+    # computed in f32 (fused by XLA), written back at the input dtype so a
+    # bf16 aug stack stays bf16 end-to-end (half the HBM traffic)
     mean = jnp.asarray(CHOLEC80_MEAN)
     std = jnp.asarray(CHOLEC80_STD)
-    return (img - mean) / std
+    return ((img.astype(jnp.float32) - mean) / std).astype(img.dtype)
 
 
 # -- full stacks ----------------------------------------------------------------
 
 def _rotation_tables(size: int, degrees: int):
     """Static nearest-neighbor rotation index tables for every integer angle
-    in [-degrees, degrees]: (tables [A, size*size] int32, valid [A, size*size])."""
+    in [-degrees, degrees]: [A, size*size] int32. Out-of-frame destinations
+    point at index ``size*size`` — the rotate appends ONE zero pixel there,
+    so the gather itself zero-fills and no validity-mask pass is needed
+    (bit-exact vs the old mask; kills one elementwise pass per angle)."""
     yy, xx = np.meshgrid(
         np.arange(size, dtype=np.float32), np.arange(size, dtype=np.float32),
         indexing="ij",
     )
     c = (size - 1) / 2.0
-    tables, valids = [], []
+    tables = []
     for a in range(-degrees, degrees + 1):
         r = np.deg2rad(a)
         xs = np.round((xx - c) * np.cos(r) + (yy - c) * np.sin(r) + c).astype(np.int32)
         ys = np.round(-(xx - c) * np.sin(r) + (yy - c) * np.cos(r) + c).astype(np.int32)
         v = (xs >= 0) & (xs < size) & (ys >= 0) & (ys < size)
-        tables.append((np.clip(ys, 0, size - 1) * size + np.clip(xs, 0, size - 1)).reshape(-1))
-        valids.append(v.reshape(-1))
-    return np.stack(tables), np.stack(valids)
+        flat = np.clip(ys, 0, size - 1) * size + np.clip(xs, 0, size - 1)
+        tables.append(np.where(v, flat, size * size).reshape(-1))
+    return np.stack(tables)
+
+
+def _rotate_flow_vectors(f: jax.Array, angle_idx: jax.Array, degrees: int):
+    """Rotate the (u, v) flow VALUES by the per-image angle (the spatial
+    permutation is done by the shared table gather)."""
+    B, S = f.shape[0], f.shape[1]
+    rad = (angle_idx.astype(jnp.float32) - degrees) * (np.pi / 180.0)
+    cos = jnp.cos(rad)[:, None]
+    sin = jnp.sin(rad)[:, None]
+    u, vv = f.reshape(B, S * S, 2)[..., 0], f.reshape(B, S * S, 2)[..., 1]
+    out = jnp.stack([u * cos - vv * sin, u * sin + vv * cos], -1)
+    return out.astype(f.dtype).reshape(f.shape)
 
 
 def batched_rotate_nearest(
@@ -225,23 +242,20 @@ def batched_rotate_nearest(
     take_along_axis with per-image tables still pays the computed-index
     gather path (~43 ms for [88, 224, 224, 3] on v5e); static-index takes
     ride the copy path, so rotating the batch once per angle and selecting
-    measures 9.6 ms for the same shape — and bit-identical output."""
+    measures 9.6 ms for the same shape — and bit-identical output. The
+    zero-fill rides the gather via the appended zero pixel (see
+    _rotation_tables)."""
     B, S = x.shape[0], x.shape[1]
-    tables, valids = _rotation_tables(S, degrees)
+    tables = _rotation_tables(S, degrees)
     xf = x.reshape(B, S * S, -1)
-    out = jnp.zeros_like(xf)
+    xf = jnp.concatenate([xf, jnp.zeros((B, 1, xf.shape[-1]), x.dtype)], axis=1)
+    out = jnp.zeros((B, S * S, xf.shape[-1]), x.dtype)
     for a in range(2 * degrees + 1):
         ra = jnp.take(xf, jnp.asarray(tables[a]), axis=1)
-        ra = jnp.where(jnp.asarray(valids[a])[None, :, None], ra, 0.0)
         out = jnp.where((angle_idx == a)[:, None, None], ra, out)
     out = out.reshape(x.shape)
     if rotate_vectors:
-        rad = (angle_idx.astype(jnp.float32) - degrees) * (np.pi / 180.0)
-        cos = jnp.cos(rad)[:, None, None]
-        sin = jnp.sin(rad)[:, None, None]
-        u, vv = out.reshape(B, S * S, 2)[..., 0], out.reshape(B, S * S, 2)[..., 1]
-        out = jnp.stack([u * cos[..., 0] - vv * sin[..., 0],
-                         u * sin[..., 0] + vv * cos[..., 0]], -1).reshape(x.shape)
+        out = _rotate_flow_vectors(out, angle_idx, degrees)
     return out
 
 
@@ -254,7 +268,11 @@ def train_preprocess_batch(
 ):
     """Batch-level train stack for seq_len=1 clips (the stage-1 config):
     per-image parameters, with the rotation done by table gather. Identical
-    semantics to vmapping `train_preprocess_clip` over the batch."""
+    semantics to vmapping `train_preprocess_clip` over the batch (geometry
+    ops are pure data movement, exact at any dtype; color arithmetic runs
+    in f32 and is written back at the INPUT dtype — feed bf16 to halve the
+    aug stack's HBM traffic at <=1 bf16 ulp of the f32 stack, which the
+    model's bf16 patch-embed conv quantizes to anyway)."""
     B = images.shape[0]
     keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(B))
     params = jax.vmap(lambda k: draw_params(k, cfg))(keys)
@@ -268,7 +286,7 @@ def train_preprocess_batch(
             seg1 = resize_bilinear(seg1, cfg.resize)
         img1 = crop(img1, p.crop_xy, cfg.crop)
         seg1 = crop(seg1, p.crop_xy, cfg.crop)
-        img1 = color_jitter(img1, p)
+        img1 = color_jitter(img1, p).astype(img.dtype)
         img1 = hflip(img1, p.flip)
         seg1 = hflip(seg1, p.flip)
         if f is not None:
@@ -287,10 +305,19 @@ def train_preprocess_batch(
 
     deg = int(cfg.degrees)
     angle_idx = (params.angle_deg.astype(jnp.int32) + deg).astype(jnp.int32)
-    images = batched_rotate_nearest(images, angle_idx, deg)
-    segmaps = batched_rotate_nearest(segmaps, angle_idx, deg)
+    # ONE table gather for all modalities: img/seg(/flow) concatenated on
+    # channels share the same per-image spatial permutation, so the
+    # 2*degrees+1 takes read 8 channels once instead of 3 tensors separately
+    parts = [images, segmaps] + ([] if fl is None else [fl.astype(images.dtype)])
+    widths = [p.shape[-1] for p in parts]
+    rotated = batched_rotate_nearest(
+        jnp.concatenate(parts, axis=-1), angle_idx, deg)
+    images = rotated[..., : widths[0]]
+    segmaps = rotated[..., widths[0] : widths[0] + widths[1]]
     if fl is not None:
-        fl = batched_rotate_nearest(fl, angle_idx, deg, rotate_vectors=True)
+        fl = _rotate_flow_vectors(
+            rotated[..., widths[0] + widths[1] :].astype(fl.dtype),
+            angle_idx, deg)
     return normalize(images), normalize(segmaps), fl
 
 

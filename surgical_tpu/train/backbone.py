@@ -161,9 +161,16 @@ class BackboneTrainer:
 
     # -- wire-format -> device float (fused into the step graphs) -----------
     def _dequant(self, img_u8, seg_u8, flow_f16):
-        img = img_u8.astype(jnp.float32) / 255.0
-        seg = jnp.broadcast_to(seg_u8.astype(jnp.float32) / 255.0, img.shape)
-        flow = None if flow_f16 is None else flow_f16.astype(jnp.float32)
+        # dequant + augment run in the MODEL's compute dtype (bf16 on TPU):
+        # geometry aug is pure data movement (exact at any dtype) and the
+        # patch-embed conv quantizes to bf16 anyway, so running the aug
+        # stack at bf16 halves its HBM traffic for free (measured on chip:
+        # docs/kernel_notes.md round-5 train section)
+        dt = getattr(self.model, "compute_dtype", jnp.float32)
+        img = img_u8.astype(dt) / jnp.asarray(255.0, dt)
+        seg = jnp.broadcast_to(seg_u8.astype(dt) / jnp.asarray(255.0, dt),
+                               img.shape)
+        flow = None if flow_f16 is None else flow_f16.astype(dt)
         return img, seg, flow
 
     def _augment(self, img, seg, flow, rng):
