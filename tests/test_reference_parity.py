@@ -74,6 +74,7 @@ def test_reference_parity_turnkey(tmp_path):
         "--head-dim", str(tce.E), "--head-hidden", str(tce.HID),
         "--num-videos", "4", "--scheme", "smoke",
         "--batch-size", "8", "--chain-depth", "1", "--len-q", "6",
+        "--online",
     ])
     assert rc == 0
 
@@ -87,6 +88,11 @@ def test_reference_parity_turnkey(tmp_path):
         # prediction txts were written with the split's actual video ids
         out_dir = os.path.join(work, "output", split.capitalize())
         assert os.listdir(out_dir)
+    # round 5: streaming parity under IMPORTED reference weights (previously
+    # proven only at random init) — the online pipeline's per-frame argmax
+    # must agree with the offline composition
+    assert report["online_offline_agreement"] >= 0.999, report
+    assert os.listdir(os.path.join(work, "output", "TestOnline"))
 
     # idempotent re-entry: stores are reused, no re-extraction
     rc = main([
