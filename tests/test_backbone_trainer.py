@@ -101,6 +101,33 @@ def test_early_stop():
     assert es.stopped
 
 
+def test_lr0_ablation_nothing_moves(rng):
+    """The selfcheck learned-quality gate's ablation, pinned (cli.py
+    cmd_selfcheck_full): with lr=0 a full train epoch moves NO parameter —
+    the broken-optimizer case the gate exists to catch sits at its
+    init-quality floor rather than silently passing."""
+    trainer = BackboneTrainer(
+        tiny_model(),
+        TrainConfig(optim=OptimConfig(name="sgd", lr=0.0)),
+        aug_cfg=AugConfig(resize=64, crop=56),
+    )
+    state = trainer.init(jax.random.key(0), img_size=64)
+    p_before = jax.tree.map(np.asarray, state[0])
+    state, metrics = trainer.train_epoch(
+        state, make_batches(rng), jax.random.key(1), epoch=0)
+    assert np.isfinite(metrics["train_loss"])
+    moved = [
+        "/".join(str(k.key) for k in path)
+        for path, (a, b) in zip(
+            (p for p, _ in jax.tree_util.tree_leaves_with_path(p_before)),
+            zip(jax.tree_util.tree_leaves(p_before),
+                jax.tree_util.tree_leaves(jax.tree.map(np.asarray, state[0]))),
+        )
+        if np.abs(a - b).max() > 0
+    ]
+    assert not moved, f"lr=0 epoch moved parameters: {moved[:5]}"
+
+
 def test_midepoch_validation_logged(trainer_state, rng, tmp_path):
     """Mid-epoch validation fires every `val_every` steps and logs
     (train_evp.py:526-564 semantics)."""
